@@ -1,0 +1,160 @@
+"""Linearly transformed cosines: coefficient fetch + density evaluation.
+
+TPU-native re-implementation of src/shaders/ltc_utility.glsl:15-119. The
+reference fetches two bilinearly-filtered texture arrays; TPU has no texture
+units, so the fetch is an explicit bilinear gather over (fresnel, incl,
+rough, channel) arrays.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .math_utils import F32, M_HALF_PI, normalize
+
+
+class LtcConstants(NamedTuple):
+    """Texture-coordinate transform constants (reference: ltc_table.c:184-192)."""
+    fresnel_index_factor: jnp.ndarray
+    fresnel_index_summand: jnp.ndarray
+    roughness_factor: jnp.ndarray
+    roughness_summand: jnp.ndarray
+    inclination_factor: jnp.ndarray
+    inclination_summand: jnp.ndarray
+
+
+class LtcTable(NamedTuple):
+    """Dequantized LTC fit tables.
+
+    table0: (F, I, R, 4) float32 — entries (m00, m02_neg, m11, m20) of the
+        normalized inverse transform (see ltc_table.c:86-116).
+    table1: (F, I, R, 2) float32 — (m22, albedo).
+    constants: LtcConstants.
+    """
+    table0: jnp.ndarray
+    table1: jnp.ndarray
+    constants: LtcConstants
+
+
+class LtcCoefficients(NamedTuple):
+    """Per-pixel LTC frame + transform (reference: ltc_utility.glsl:28-50)."""
+    world_to_shading_space: jnp.ndarray  # (3, 4) rotation|translation
+    shading_to_cosine_space: jnp.ndarray  # (3, 3)
+    world_to_cosine_space: jnp.ndarray    # (3, 4)
+    cosine_to_shading_space: jnp.ndarray  # (3, 3)
+    albedo: jnp.ndarray                   # ()
+    shading_to_cosine_space_determinant: jnp.ndarray  # ()
+
+
+def _bilinear_fetch(table, texcoord_x, texcoord_y, layer):
+    """Bilinear clamp-to-edge lookup in a (L, H, W, C) array; texcoords in
+    [0,1] address texel centers at (i+0.5)/N like Vulkan samplers; the layer
+    is rounded to nearest (the reference picks the layer via integer-valued
+    texcoord on an array texture)."""
+    layers, height, width = table.shape[0], table.shape[1], table.shape[2]
+    x = jnp.clip(texcoord_x * width - 0.5, 0.0, width - 1.0)
+    y = jnp.clip(texcoord_y * height - 0.5, 0.0, height - 1.0)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, width - 1)
+    y1 = jnp.minimum(y0 + 1, height - 1)
+    fx = x - x0.astype(F32)
+    fy = y - y0.astype(F32)
+    li = jnp.clip(jnp.round(layer).astype(jnp.int32), 0, layers - 1)
+    t00 = table[li, y0, x0]
+    t01 = table[li, y0, x1]
+    t10 = table[li, y1, x0]
+    t11 = table[li, y1, x1]
+    top = t00 + fx[..., None] * (t01 - t00)
+    bottom = t10 + fx[..., None] * (t11 - t10)
+    return top + fy[..., None] * (bottom - top)
+
+
+def get_ltc_coefficients(table: LtcTable, fresnel_0, roughness,
+                         world_position, world_normal, world_outgoing):
+    """Fetch and assemble LTC coefficients (ltc_utility.glsl:58-91)."""
+    c = table.constants
+    normal_dot_outgoing = jnp.sum(world_normal * world_outgoing, axis=-1)
+    inclination = jnp.arccos(jnp.clip(normal_dot_outgoing, 0.0, 1.0))
+    tex_x = jnp.sqrt(jnp.clip(roughness, 0.0, 1.0)) * c.roughness_factor \
+        + c.roughness_summand
+    tex_y = inclination * c.inclination_factor + c.inclination_summand
+    layer = jnp.clip(fresnel_0, 0.0, 1.0) * c.fresnel_index_factor \
+        + c.fresnel_index_summand
+
+    data_0 = _bilinear_fetch(table.table0, tex_x, tex_y, layer)
+    data_1 = _bilinear_fetch(table.table1, tex_x, tex_y, layer)
+
+    # shading_to_cosine_space (column-major in GLSL):
+    #   [ d0x  0  d0w ]
+    #   [  0  d0z  0  ]
+    #   [-d0y  0  d1x ]
+    m = jnp.stack([
+        jnp.stack([data_0[..., 0], jnp.zeros_like(data_0[..., 0]), data_0[..., 3]], axis=-1),
+        jnp.stack([jnp.zeros_like(data_0[..., 0]), data_0[..., 2], jnp.zeros_like(data_0[..., 0])], axis=-1),
+        jnp.stack([-data_0[..., 1], jnp.zeros_like(data_0[..., 0]), data_1[..., 0]], axis=-1),
+    ], axis=-2)
+    albedo = data_1[..., 1]
+    det_2x2 = data_0[..., 0] * data_1[..., 0] + data_0[..., 1] * data_0[..., 3]
+    determinant = data_0[..., 2] * det_2x2
+    inv_det_2x2 = 1.0 / det_2x2
+    m_inv = jnp.stack([
+        jnp.stack([data_1[..., 0] * inv_det_2x2, jnp.zeros_like(det_2x2), -data_0[..., 3] * inv_det_2x2], axis=-1),
+        jnp.stack([jnp.zeros_like(det_2x2), 1.0 / data_0[..., 2], jnp.zeros_like(det_2x2)], axis=-1),
+        jnp.stack([data_0[..., 1] * inv_det_2x2, jnp.zeros_like(det_2x2), data_0[..., 0] * inv_det_2x2], axis=-1),
+    ], axis=-2)
+
+    # Shading frame: x-axis in the plane of normal and outgoing.
+    x_axis = normalize(-normal_dot_outgoing[..., None] * world_normal + world_outgoing)
+    y_axis = jnp.cross(world_normal, x_axis)
+    rotation = jnp.stack([x_axis, y_axis, world_normal], axis=-2)  # rows
+    translation = -jnp.einsum("...ij,...j->...i", rotation, world_position)
+    world_to_shading = jnp.concatenate([rotation, translation[..., None]], axis=-1)
+    world_to_cosine = jnp.einsum("...ij,...jk->...ik", m, world_to_shading)
+
+    return LtcCoefficients(
+        world_to_shading_space=world_to_shading,
+        shading_to_cosine_space=m,
+        world_to_cosine_space=world_to_cosine,
+        cosine_to_shading_space=m_inv,
+        albedo=albedo,
+        shading_to_cosine_space_determinant=determinant,
+    )
+
+
+def evaluate_ltc_density(ltc: LtcCoefficients, dir_shading_space,
+                         rcp_projected_solid_angle):
+    """LTC density w.r.t. solid angle (ltc_utility.glsl:103-108)."""
+    dir_cos = jnp.einsum("...ij,...j->...i", ltc.shading_to_cosine_space,
+                         dir_shading_space)
+    len_sq = jnp.sum(dir_cos * dir_cos, axis=-1)
+    density = jnp.maximum(0.0, dir_cos[..., 2]) \
+        * ltc.shading_to_cosine_space_determinant / (len_sq * len_sq)
+    return density * rcp_projected_solid_angle
+
+
+def evaluate_ltc_density_inv(ltc: LtcCoefficients, dir_cosine_space,
+                             rcp_projected_solid_angle):
+    """Inverse-transform LTC density (ltc_utility.glsl:114-119)."""
+    dir_shading = jnp.einsum("...ij,...j->...i", ltc.cosine_to_shading_space,
+                             dir_cosine_space)
+    len_sq = jnp.sum(dir_shading * dir_shading, axis=-1)
+    density = jnp.maximum(0.0, dir_shading[..., 2]) / \
+        (ltc.shading_to_cosine_space_determinant * len_sq * len_sq)
+    return density * rcp_projected_solid_angle
+
+
+def make_ltc_constants(fresnel_count: int, roughness_count: int,
+                       inclination_count: int) -> LtcConstants:
+    """Constants exactly as computed in ltc_table.c:184-192."""
+    return LtcConstants(
+        fresnel_index_factor=F32(fresnel_count - 1),
+        fresnel_index_summand=F32(0.0),
+        roughness_factor=F32((roughness_count - 1) / roughness_count),
+        roughness_summand=F32(0.5 / roughness_count),
+        inclination_factor=F32((inclination_count - 1)
+                               / (M_HALF_PI * inclination_count)),
+        inclination_summand=F32(0.5 / inclination_count),
+    )

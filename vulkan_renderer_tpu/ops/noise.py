@@ -1,0 +1,67 @@
+"""Noise access inside the shading kernel.
+
+Re-implementation of src/shaders/noise_utility.glsl:21-117. The GLSL keeps a
+stateful 4-value buffer per pixel and drips out 1-2 values per call; under
+jit that state threading is pointless — the sample schedule is static, so we
+precompute which (pixel, fetch_index) each random pair comes from and gather
+them all at once.
+
+get_noise_sample reproduces the exact scrambling of the reference so that
+renders with the same noise tables match.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+U32 = jnp.uint32
+
+
+def get_noise_sample(table, pixel, sample_index, resolution_mask,
+                     texture_index_mask, noise_random_numbers):
+    """Fetch 4 noise values for a pixel (noise_utility.glsl:62-73).
+
+    table: (layers, H, W, 4) uint16; pixel: (..., 2) int32 (x, y);
+    sample_index: scalar or (...,) uint32; noise_random_numbers: (4,) uint32.
+    Returns (..., 4) float32 in [0, 1].
+    """
+    sample_index = jnp.asarray(sample_index, U32)
+    rn = jnp.asarray(noise_random_numbers, U32)
+    swap_zw = (sample_index & U32(2)) != 0
+    # random_numbers = swap ? zwxy : xyzw
+    r = jnp.where(swap_zw[..., None], rn[jnp.array([2, 3, 0, 1])], rn)
+    shift_xyz = (sample_index & U32(1)) != 0
+    # xyz = shift ? yzw : xyz
+    rx = jnp.where(shift_xyz, r[..., 1], r[..., 0])
+    ry = jnp.where(shift_xyz, r[..., 2], r[..., 1])
+    rz = jnp.where(shift_xyz, r[..., 3], r[..., 2])
+    shift = (sample_index & U32(124)) >> U32(2)
+    off_x = rx >> shift
+    off_y = ry >> shift
+    texture_index = (rz + sample_index) & jnp.asarray(texture_index_mask, U32)
+    res_mask = jnp.asarray(resolution_mask, U32)
+    loc_x = (pixel[..., 0].astype(U32) + off_x) & res_mask[0]
+    loc_y = (pixel[..., 1].astype(U32) + off_y) & res_mask[1]
+    texel = table[texture_index.astype(jnp.int32),
+                  loc_y.astype(jnp.int32),
+                  loc_x.astype(jnp.int32)]
+    return texel.astype(jnp.float32) * jnp.float32(1.0 / 65535.0)
+
+
+def get_noise_pairs(table, pixel, pair_count: int, resolution_mask,
+                    texture_index_mask, noise_random_numbers):
+    """All random pairs a pixel will consume, in the reference's order.
+
+    The GLSL accessor consumes pairs (xy, zw) of consecutive 4-value
+    fetches with increasing sample_index. Returns (..., pair_count, 2).
+    """
+    fetch_count = (pair_count + 1) // 2
+    fetches = []
+    for i in range(fetch_count):
+        fetches.append(get_noise_sample(table, pixel, np.uint32(i),
+                                        resolution_mask, texture_index_mask,
+                                        noise_random_numbers))
+    stacked = jnp.stack(fetches, axis=-2)  # (..., fetch_count, 4)
+    pairs = stacked.reshape(stacked.shape[:-2] + (fetch_count * 2, 2))
+    return pairs[..., :pair_count, :]
