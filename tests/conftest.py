@@ -3,7 +3,9 @@ sharding tests run without TPU hardware (SURVEY.md §4 implication (d))."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the driver environment pins JAX_PLATFORMS=axon (the real TPU),
+# so a plain setdefault would silently run the whole suite on hardware.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

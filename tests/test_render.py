@@ -1,0 +1,175 @@
+"""End-to-end render tests: technique/strategy consistency, light display,
+shadows, HDR capture. Uses a small cornell box at low resolution so the
+whole file stays CPU-friendly."""
+
+import numpy as np
+import pytest
+
+from vulkan_renderer_tpu.core.settings import (MisHeuristic,
+                                               PolygonSamplingTechnique as T,
+                                               RenderSettings,
+                                               SamplingStrategy as S)
+from vulkan_renderer_tpu.render.pipeline import render_frame
+from vulkan_renderer_tpu.render.shading import SceneStatic
+from vulkan_renderer_tpu.scene.camera import FirstPersonCamera
+from vulkan_renderer_tpu.scene.lights import PolygonalLightSpec
+from vulkan_renderer_tpu.scene.scene import load_scene
+from vulkan_renderer_tpu.tools.export_scene import write_test_scene
+
+RES = 24
+RND = np.array([12, 34, 56, 78], np.uint32)
+
+
+@pytest.fixture(scope="module")
+def cornell(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("scene"))
+    vks = write_test_scene(d, "cornell_box", texture_resolution=32)
+    light = PolygonalLightSpec(
+        translation=np.array([1.0, 1.0, 1.99], np.float32),
+        rotation_angles=np.array([np.pi, 0, 0], np.float32),
+        scaling_x=0.4, scaling_y=0.4,
+        radiant_flux=np.array([40.0, 35.0, 30.0], np.float32))
+    scene = load_scene(vks, d + "/cornell_box_textures", [light])
+    static = SceneStatic(light_count=1, light_texturing=(0,))
+    cam = FirstPersonCamera(
+        position_world_space=np.array([1.0, 0.15, 1.0], np.float32),
+        rotation_x=np.pi / 2, rotation_z=np.pi)
+    return scene, static, cam
+
+
+def render(cornell, **kwargs):
+    scene, static, cam = cornell
+    defaults = dict(output_linear_rgb=True, show_polygonal_lights=False,
+                    animate_noise=False, sample_count=32)
+    defaults.update(kwargs)
+    settings = RenderSettings(**defaults)
+    return np.asarray(render_frame(scene, static, cam, settings, RES, RES,
+                                   noise_random_numbers=RND))
+
+
+def test_diffuse_techniques_agree(cornell):
+    """All unbiased diffuse-only techniques estimate the same image."""
+    means = {}
+    for tech in [T.PROJECTED_SOLID_ANGLE, T.SOLID_ANGLE,
+                 T.CLIPPED_SOLID_ANGLE, T.AREA_TURK]:
+        img = render(cornell, sampling_strategy=S.DIFFUSE_ONLY,
+                     polygon_sampling_technique=tech)
+        assert np.isfinite(img).all()
+        means[tech] = img.mean()
+    base = means[T.PROJECTED_SOLID_ANGLE]
+    for tech, m in means.items():
+        assert m == pytest.approx(base, rel=0.06), (tech, m, base)
+
+
+def test_combined_strategies_agree(cornell):
+    """diffuse+specular strategies agree with each other (PSA technique)."""
+    means = {}
+    for strat in [S.DIFFUSE_SPECULAR_MIS, S.DIFFUSE_SPECULAR_SEPARATELY,
+                  S.DIFFUSE_SPECULAR_RANDOM]:
+        img = render(cornell, sampling_strategy=strat,
+                     polygon_sampling_technique=T.PROJECTED_SOLID_ANGLE)
+        assert np.isfinite(img).all()
+        means[strat] = img.mean()
+    base = means[S.DIFFUSE_SPECULAR_MIS]
+    for strat, m in means.items():
+        assert m == pytest.approx(base, rel=0.08), (strat, m, base)
+    # Combined > diffuse-only (specular adds energy).
+    diffuse = render(cornell, sampling_strategy=S.DIFFUSE_ONLY,
+                     polygon_sampling_technique=T.PROJECTED_SOLID_ANGLE)
+    assert base >= diffuse.mean() * 0.999
+
+
+def test_mis_heuristics_agree(cornell):
+    means = {}
+    for heuristic in [MisHeuristic.BALANCE, MisHeuristic.POWER,
+                      MisHeuristic.WEIGHTED, MisHeuristic.OPTIMAL_CLAMPED,
+                      MisHeuristic.OPTIMAL]:
+        img = render(cornell, sampling_strategy=S.DIFFUSE_SPECULAR_MIS,
+                     polygon_sampling_technique=T.PROJECTED_SOLID_ANGLE,
+                     mis_heuristic=heuristic)
+        assert np.isfinite(img).all()
+        means[heuristic] = img.mean()
+    base = means[MisHeuristic.BALANCE]
+    for heuristic, m in means.items():
+        assert m == pytest.approx(base, rel=0.08), (heuristic, m, base)
+
+
+def test_ggx_mis_strategy_runs(cornell):
+    img = render(cornell, sampling_strategy=S.DIFFUSE_GGX_MIS,
+                 polygon_sampling_technique=T.PROJECTED_SOLID_ANGLE,
+                 sample_count=16)
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.0
+
+
+def test_no_nan_sentinel(cornell):
+    """No pink pixels in a normal render (NaN guard, glsl:861-864)."""
+    img = render(cornell, sampling_strategy=S.DIFFUSE_SPECULAR_MIS,
+                 polygon_sampling_technique=T.PROJECTED_SOLID_ANGLE,
+                 sample_count=4)
+    pink = np.abs(img - np.array([1.0, 0.0, 0.8])).max(-1) < 1e-4
+    assert pink.sum() == 0
+
+
+def test_show_lights_displays_radiance(cornell):
+    scene, static, _ = cornell
+    # Camera tilted up so the ceiling light is in frame (rotation_x: 0 looks
+    # straight down, pi straight up).
+    cam = FirstPersonCamera(
+        position_world_space=np.array([1.0, 0.5, 0.5], np.float32),
+        rotation_x=0.8 * np.pi, rotation_z=np.pi)
+    up_cornell = (scene, static, cam)
+    with_l = render(up_cornell, show_polygonal_lights=True, sample_count=1,
+                    sampling_strategy=S.DIFFUSE_ONLY,
+                    polygon_sampling_technique=T.PROJECTED_SOLID_ANGLE)
+    without = render(up_cornell, show_polygonal_lights=False, sample_count=1,
+                     sampling_strategy=S.DIFFUSE_ONLY,
+                     polygon_sampling_technique=T.PROJECTED_SOLID_ANGLE)
+    diff = with_l - without
+    # Light pixels should gain exactly the surface radiance.
+    radiance = np.asarray(scene.lights.surface_radiance[0])
+    gained = diff.max(axis=-1) > 0.5 * radiance.max()
+    assert gained.sum() > 0  # the light is visible in frame
+    lit = diff[gained]
+    np.testing.assert_allclose(lit, np.broadcast_to(radiance, lit.shape),
+                               rtol=0.01)
+
+
+def test_shadow_rays_darken(cornell):
+    lit = render(cornell, trace_shadow_rays=False, sample_count=16,
+                 sampling_strategy=S.DIFFUSE_ONLY,
+                 polygon_sampling_technique=T.PROJECTED_SOLID_ANGLE)
+    shadowed = render(cornell, trace_shadow_rays=True, sample_count=16,
+                      sampling_strategy=S.DIFFUSE_ONLY,
+                      polygon_sampling_technique=T.PROJECTED_SOLID_ANGLE)
+    assert np.isfinite(shadowed).all()
+    # Shadows only remove energy.
+    assert shadowed.mean() < lit.mean()
+    assert (shadowed <= lit + 1e-5).mean() > 0.995
+
+
+def test_hdr_bit_capture_roundtrip(cornell):
+    """frame_bits 1/2 LDR pair recombines into the fp16 image
+    (main.c:1700-1710 semantics)."""
+    linear = render(cornell, sample_count=4,
+                    sampling_strategy=S.DIFFUSE_ONLY,
+                    polygon_sampling_technique=T.PROJECTED_SOLID_ANGLE)
+    low = render(cornell, sample_count=4, frame_bits=1,
+                 sampling_strategy=S.DIFFUSE_ONLY,
+                 polygon_sampling_technique=T.PROJECTED_SOLID_ANGLE)
+    high = render(cornell, sample_count=4, frame_bits=2,
+                  sampling_strategy=S.DIFFUSE_ONLY,
+                  polygon_sampling_technique=T.PROJECTED_SOLID_ANGLE)
+    lo_bytes = np.round(low * 255.0).astype(np.uint16)
+    hi_bytes = np.round(high * 255.0).astype(np.uint16)
+    half_bits = lo_bytes | (hi_bytes << 8)
+    recombined = half_bits.view(np.float16).astype(np.float32)
+    np.testing.assert_allclose(recombined, linear, rtol=2e-3, atol=1e-4)
+
+
+def test_error_display_runs(cornell):
+    from vulkan_renderer_tpu.core.settings import ErrorDisplay
+    img = render(cornell, sampling_strategy=S.DIFFUSE_ONLY,
+                 polygon_sampling_technique=T.PROJECTED_SOLID_ANGLE,
+                 error_display=ErrorDisplay.DIFFUSE_BACKWARD, sample_count=1)
+    assert np.isfinite(img).all()

@@ -22,9 +22,10 @@ def get_noise_sample(table, pixel, sample_index, resolution_mask,
                      texture_index_mask, noise_random_numbers):
     """Fetch 4 noise values for a pixel (noise_utility.glsl:62-73).
 
-    table: (layers, H, W, 4) uint16; pixel: (..., 2) int32 (x, y);
-    sample_index: scalar or (...,) uint32; noise_random_numbers: (4,) uint32.
-    Returns (..., 4) float32 in [0, 1].
+    table: (layers, H, W, 4) float32 already normalized to [0, 1] (the
+    u16 UNORM division happens once at scene build); pixel: (..., 2) int32
+    (x, y); sample_index: scalar or (...,) uint32; noise_random_numbers:
+    (4,) uint32. Returns (..., 4) float32 in [0, 1].
     """
     sample_index = jnp.asarray(sample_index, U32)
     rn = jnp.asarray(noise_random_numbers, U32)
@@ -43,10 +44,9 @@ def get_noise_sample(table, pixel, sample_index, resolution_mask,
     res_mask = jnp.asarray(resolution_mask, U32)
     loc_x = (pixel[..., 0].astype(U32) + off_x) & res_mask[0]
     loc_y = (pixel[..., 1].astype(U32) + off_y) & res_mask[1]
-    texel = table[texture_index.astype(jnp.int32),
-                  loc_y.astype(jnp.int32),
-                  loc_x.astype(jnp.int32)]
-    return texel.astype(jnp.float32) * jnp.float32(1.0 / 65535.0)
+    return table[texture_index.astype(jnp.int32),
+                 loc_y.astype(jnp.int32),
+                 loc_x.astype(jnp.int32)]
 
 
 def get_noise_pairs(table, pixel, pair_count: int, resolution_mask,

@@ -1,0 +1,163 @@
+"""The frame function: render(scene, camera, settings) -> image.
+
+TPU-native equivalent of the reference's per-frame command buffer
+(main.c:1395-1444: visibility subpass -> shading subpass) plus the constant
+upload (write_constants, main.c:2114-2188). The whole frame is one pure
+jitted function; RenderSettings and SceneStatic are static arguments, so
+every settings change retraces — exactly like the reference recompiling its
+shading shader with new #defines.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.settings import ErrorDisplay, RenderSettings
+from ..ops.noise import get_noise_pairs
+from ..ops.srgb import linear_to_srgb, srgb_to_linear
+from ..scene.camera import (FirstPersonCamera,
+                            get_pixel_to_ray_direction_world_space)
+from ..scene.scene import Scene
+from .shading import (INVALID_PRIMITIVE, FrameConstants, SceneStatic,
+                      error_to_color, evaluate_polygonal_light_shading,
+                      get_ltc_coefficients, get_shading_data,
+                      pairs_per_light)
+from ..ops.intersect import polygonal_light_ray_intersection
+from ..ops.math_utils import normalize
+from .shading import get_polygon_radiance
+from .visibility import make_bruteforce_occlusion, trace_primary_bruteforce
+
+
+def make_frame_constants(camera: FirstPersonCamera, width: int, height: int,
+                         settings: RenderSettings,
+                         noise_random_numbers) -> FrameConstants:
+    return FrameConstants(
+        camera_position=jnp.asarray(camera.position_world_space, jnp.float32),
+        pixel_to_ray=jnp.asarray(
+            get_pixel_to_ray_direction_world_space(camera, width, height)),
+        exposure_factor=jnp.float32(settings.exposure_factor),
+        roughness_factor=jnp.float32(settings.roughness_factor),
+        mis_visibility_estimate=jnp.float32(settings.mis_visibility_estimate),
+        error_factor=jnp.float32(10.0 ** (-settings.error_min_exponent)),
+        noise_random_numbers=jnp.asarray(noise_random_numbers, jnp.uint32),
+    )
+
+
+def _shade_pixel(scene: Scene, static: SceneStatic, settings: RenderSettings,
+                 constants: FrameConstants, occlusion_fn,
+                 pixel_xy, primitive_index, ray_direction, noise_pairs):
+    """Full shading for one pixel (shading_pass.frag.glsl main, :828-893)."""
+    hit = primitive_index != INVALID_PRIMITIVE
+    safe_prim = jnp.where(hit, primitive_index, 0).astype(jnp.int32)
+
+    data = get_shading_data(scene, constants, constants.roughness_factor,
+                            safe_prim, ray_direction)
+
+    final_color = jnp.zeros(3)
+    view_dir = normalize(ray_direction)
+    if settings.show_polygonal_lights:
+        # Display the light sources themselves (glsl:841-850).
+        ray_end = jnp.where(
+            hit,
+            jnp.concatenate([data.position, jnp.ones(1)]),
+            jnp.concatenate([ray_direction, jnp.zeros(1)]))
+        for i in range(static.light_count):
+            light_hit = polygonal_light_ray_intersection(
+                scene.lights.plane[i], scene.lights.vertices_world_space[i],
+                scene.lights.vertex_count[i].astype(jnp.int32),
+                constants.camera_position, ray_end)
+            radiance = get_polygon_radiance(
+                scene, i, static.light_texturing[i], view_dir,
+                constants.camera_position)
+            final_color = final_color + jnp.where(light_hit, radiance, 0.0)
+
+    # Shade with all lights.
+    fresnel_luminance = jnp.sum(
+        data.fresnel_0 * jnp.array([0.2126, 0.7152, 0.0722]))
+    ltc = get_ltc_coefficients(scene.ltc, fresnel_luminance, data.roughness,
+                               data.position, data.normal, data.outgoing)
+    ppl = pairs_per_light(settings)
+    shading = jnp.zeros(3)
+    for i in range(static.light_count):
+        light_pairs = noise_pairs[i * ppl:(i + 1) * ppl]
+        shading = shading + evaluate_polygonal_light_shading(
+            scene, static, settings, constants, occlusion_fn, i, data, ltc,
+            light_pairs)
+    final_color = final_color + jnp.where(hit, shading, 0.0)
+
+    # NaN/Inf -> pink (glsl:861-864).
+    bad = jnp.any(jnp.isnan(final_color)) | jnp.any(jnp.isinf(final_color))
+    final_color = jnp.where(
+        bad, jnp.array([1.0, 0.0, 0.8]) / constants.exposure_factor,
+        final_color)
+    return final_color * constants.exposure_factor
+
+
+def _postprocess(color, settings: RenderSettings):
+    """Exposure already applied; handle HDR-bit frames and sRGB
+    (glsl:867-893). color: (..., 3) linear."""
+    if settings.frame_bits > 0:
+        # Pack half-float bytes into LDR channels for 2-frame HDR capture.
+        half_bits = jax.lax.bitcast_convert_type(
+            color.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+        if settings.frame_bits == 1:
+            bytes_ = half_bits & 0xFF
+        else:
+            bytes_ = (half_bits & 0xFF00) >> 8
+        out = bytes_.astype(jnp.float32) / 255.0
+        if settings.output_linear_rgb:
+            out = srgb_to_linear(out)
+        return out
+    if not settings.output_linear_rgb:
+        return linear_to_srgb(color)
+    return color
+
+
+@functools.partial(jax.jit, static_argnames=("static", "settings", "width",
+                                             "height"))
+def render_frame_jit(scene: Scene, static: SceneStatic,
+                     settings: RenderSettings, constants: FrameConstants,
+                     width: int, height: int):
+    """Render one frame: (H, W, 3) float32 in output color space."""
+    xs = jnp.arange(width, dtype=jnp.float32)
+    ys = jnp.arange(height, dtype=jnp.float32)
+    px, py = jnp.meshgrid(xs, ys, indexing="xy")
+    pixels_f = jnp.stack([px, py], axis=-1).reshape(-1, 2)
+    pixels_i = pixels_f.astype(jnp.int32)
+    # Integer pixel -> ray dir via the pixel_to_ray matrix (glsl:833).
+    ray_dirs = (jnp.concatenate([pixels_f, jnp.ones_like(pixels_f[:, :1])],
+                                axis=-1) @ constants.pixel_to_ray.T)
+
+    primitive_index, _ = trace_primary_bruteforce(
+        scene.triangle_positions, constants.camera_position, ray_dirs)
+
+    occlusion_fn = make_bruteforce_occlusion(scene.triangle_positions) \
+        if settings.trace_shadow_rays else None
+
+    ppl = pairs_per_light(settings)
+    total_pairs = max(ppl * static.light_count, 1)
+    noise_pairs = get_noise_pairs(
+        scene.noise_table, pixels_i, total_pairs,
+        scene.noise_resolution_mask, scene.noise_texture_index_mask,
+        constants.noise_random_numbers)
+
+    shade = functools.partial(_shade_pixel, scene, static, settings,
+                              constants, occlusion_fn)
+    colors = jax.vmap(shade)(pixels_i, primitive_index, ray_dirs, noise_pairs)
+    colors = _postprocess(colors, settings)
+    return colors.reshape(height, width, 3)
+
+
+def render_frame(scene: Scene, static: SceneStatic, camera: FirstPersonCamera,
+                 settings: RenderSettings, width: int, height: int,
+                 noise_random_numbers=None):
+    """Convenience host-side wrapper building constants then jit-rendering."""
+    if noise_random_numbers is None:
+        noise_random_numbers = (np.arange(4) * 0x123456).astype(np.uint32)
+    constants = make_frame_constants(camera, width, height, settings,
+                                     noise_random_numbers)
+    return render_frame_jit(scene, static, settings, constants, width, height)

@@ -1,0 +1,689 @@
+"""The deferred shading pass: per-pixel reconstruction + polygonal-light
+Monte Carlo shading with all sampling strategies and MIS heuristics.
+
+TPU-native re-implementation of src/shaders/shading_pass.frag.glsl. Design
+mapping:
+- The reference's 39 compile-time #defines become static Python arguments
+  (RenderSettings + SceneStatic) -> jit specialization.
+- Per-fragment scalar code becomes an unbatched per-pixel function vmapped
+  over all pixels; XLA maps the lanes onto the VPU.
+- The preprocessor-unrolled light/sample loops (unrolling.glsl) become
+  static Python loops over (light, sample) with a precomputed noise-pair
+  schedule; on TPU there is no ray-query instruction to unroll around.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import MAX_POLYGON_VERTEX_COUNT as MAXV
+from ..core.settings import (ErrorDisplay, MisHeuristic,
+                             PolygonSamplingTechnique, RenderSettings,
+                             SamplingStrategy)
+from ..ops import sampling
+from ..ops.brdf import (ShadingData, evaluate_brdf,
+                        ggx_reflected_direction_density,
+                        sample_ggx_reflected_direction)
+from ..ops.clipping import clip_polygon
+from ..ops.intersect import (polygonal_light_ray_intersection,
+                             ray_triangle_barycentrics)
+from ..ops.ltc import (LtcCoefficients, evaluate_ltc_density,
+                       get_ltc_coefficients)
+from ..ops.math_utils import F32, M_INV_PI, M_PI, normalize
+from ..ops.mis import mis_estimate, mis_weight_over_density
+from ..ops.srgb import linear_to_srgb, srgb_to_linear
+from .texture import sample_texture_grad, sample_texture_lod0
+
+INVALID_PRIMITIVE = jnp.uint32(0xFFFFFFFF)
+
+# Occlusion test signature: (origin (3,), dir (3,), t_max ()) -> bool hit.
+OcclusionFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneStatic:
+    """Static (trace-time) scene facts, like the reference's scene-dependent
+    defines (MATERIAL_COUNT, POLYGONAL_LIGHT_COUNT, ...)."""
+    light_count: int
+    light_texturing: tuple  # per light: PolygonTexturing int
+    max_light_vertex_count: int = MAXV - 1
+
+
+class FrameConstants(NamedTuple):
+    """per_frame_constants_t equivalent (main.h:488-505, main.c:2114-2157)."""
+    camera_position: jnp.ndarray       # (3,)
+    pixel_to_ray: jnp.ndarray          # (3, 3) pixel -> world ray direction
+    exposure_factor: jnp.ndarray       # ()
+    roughness_factor: jnp.ndarray      # ()
+    mis_visibility_estimate: jnp.ndarray  # ()
+    error_factor: jnp.ndarray          # ()
+    noise_random_numbers: jnp.ndarray  # (4,) uint32
+
+
+# ---------------------------------------------------------------------------
+# Error display (shading_pass.frag.glsl:76-114)
+# ---------------------------------------------------------------------------
+
+_TAB20B = jnp.asarray(np.array([
+    [0.04092, 0.04374, 0.19120], [0.08438, 0.08866, 0.36625],
+    [0.14703, 0.15593, 0.62396], [0.33245, 0.34191, 0.73046],
+    [0.12477, 0.19120, 0.04092], [0.26225, 0.36131, 0.08438],
+    [0.46208, 0.62396, 0.14703], [0.61721, 0.70838, 0.33245],
+    [0.26225, 0.15293, 0.03071], [0.50888, 0.34191, 0.04092],
+    [0.79910, 0.49102, 0.08438], [0.79910, 0.59720, 0.29614],
+    [0.23074, 0.04519, 0.04092], [0.41789, 0.06663, 0.06848],
+    [0.67244, 0.11954, 0.14703], [0.79910, 0.30499, 0.33245],
+    [0.19807, 0.05286, 0.17144], [0.37626, 0.08228, 0.29614],
+    [0.61721, 0.15293, 0.50888], [0.73046, 0.34191, 0.67244],
+], np.float32))
+
+
+def error_to_color(error, error_factor):
+    min_error = 1.0
+    max_error = 10.0 ** (5.0 - 0.01)
+    e = jnp.clip(jnp.abs(error_factor * error), min_error, max_error)
+    color_index = jnp.log2(e) * (20.0 / (5.0 * jnp.log2(10.0)))
+    idx = jnp.clip(color_index.astype(jnp.int32), 0, 19)
+    return _TAB20B[idx]
+
+
+# ---------------------------------------------------------------------------
+# Shading-data reconstruction (shading_pass.frag.glsl:720-826)
+# ---------------------------------------------------------------------------
+
+def get_shading_data(scene, constants: FrameConstants,
+                     roughness_factor, primitive_index, ray_direction):
+    """Recover full shading data by re-intersecting the view ray with the
+    visible triangle; unbatched (one pixel)."""
+    positions = scene.triangle_positions[primitive_index]   # (3, 3)
+    normals = scene.triangle_normals[primitive_index]
+    tex_coords = scene.triangle_tex_coords[primitive_index]
+
+    bary, bary_derivs = ray_triangle_barycentrics(
+        constants.camera_position, ray_direction, positions,
+        constants.pixel_to_ray[:, :2].T)  # derivative rows: d ray / d pixel
+
+    position = bary[0] * positions[0] + bary[1] * positions[1] \
+        + bary[2] * positions[2]
+    interp_normal = normalize(bary[0] * normals[0] + bary[1] * normals[1]
+                              + bary[2] * normals[2])
+    tex_coord = bary[0] * tex_coords[0] + bary[1] * tex_coords[1] \
+        + bary[2] * tex_coords[2]
+    tex_coord_derivs = jnp.einsum("db,bu->du", bary_derivs, tex_coords)
+
+    material_index = scene.material_indices[primitive_index]
+    base_color = sample_texture_grad(
+        scene.material_atlas, 3 * material_index + 0, tex_coord,
+        tex_coord_derivs[0], tex_coord_derivs[1])[:3]
+    specular_data = sample_texture_grad(
+        scene.material_atlas, 3 * material_index + 1, tex_coord,
+        tex_coord_derivs[0], tex_coord_derivs[1])[:3]
+    normal_ts_xy = sample_texture_grad(
+        scene.material_atlas, 3 * material_index + 2, tex_coord,
+        tex_coord_derivs[0], tex_coord_derivs[1])[:2]
+    normal_ts_xy = normal_ts_xy * 2.0 - 1.0
+    normal_ts_z = jnp.sqrt(jnp.maximum(
+        0.0, 1.0 - normal_ts_xy[0] ** 2 - normal_ts_xy[1] ** 2))
+
+    # Falcor/Unreal-compatible material decode (glsl:786-796).
+    metalicity = specular_data[2]
+    diffuse_albedo = base_color - metalicity * base_color
+    fresnel_0 = (1.0 - metalicity) * 0.02 + metalicity * base_color
+    linear_roughness = specular_data[1]
+    roughness = linear_roughness * linear_roughness
+    roughness = jnp.clip(roughness * roughness_factor, 0.0064, 1.0)
+
+    # Tangent frame from UV edges (glsl:800-812).
+    edges = jnp.stack([positions[1] - positions[0],
+                       positions[2] - positions[0]])
+    tex_edges = jnp.stack([tex_coords[1] - tex_coords[0],
+                           tex_coords[2] - tex_coords[0]])
+    normal_cross_e0 = jnp.cross(interp_normal, edges[0])
+    e1_cross_normal = jnp.cross(edges[1], interp_normal)
+    tangent = e1_cross_normal * tex_edges[0, 0] + normal_cross_e0 * tex_edges[1, 0]
+    bitangent = e1_cross_normal * tex_edges[0, 1] + normal_cross_e0 * tex_edges[1, 1]
+    mean_tangent_length = jnp.sqrt(0.5 * (jnp.sum(tangent ** 2)
+                                          + jnp.sum(bitangent ** 2)))
+    nz = normal_ts_z * jnp.maximum(1.0e-10, mean_tangent_length)
+    normal = normalize(normal_ts_xy[0] * tangent + normal_ts_xy[1] * bitangent
+                       + nz * interp_normal)
+
+    # Clip the shading normal into the outgoing hemisphere (glsl:815-823).
+    outgoing = normalize(constants.camera_position - position)
+    normal_offset = jnp.maximum(0.0, 1.0e-3 - jnp.sum(normal * outgoing))
+    normal = normalize(normal_offset * outgoing + normal)
+
+    return ShadingData(
+        position=position,
+        normal=normal,
+        outgoing=outgoing,
+        lambert_outgoing=jnp.sum(normal * outgoing),
+        diffuse_albedo=diffuse_albedo,
+        fresnel_0=fresnel_0,
+        roughness=roughness,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Light radiance / visibility / BRDF product (glsl:119-239)
+# ---------------------------------------------------------------------------
+
+def _light_field(lights, i: int, name: str):
+    return getattr(lights, name)[i]
+
+
+def get_polygon_radiance(scene, light_index: int, texturing: int,
+                         sampled_dir, shading_position):
+    """Incoming radiance from a light along sampled_dir (glsl:142-185).
+    `texturing` is static per light."""
+    lights = scene.lights
+    radiance = lights.surface_radiance[light_index]
+    if texturing == 0:  # none
+        return radiance
+    plane = lights.plane[light_index]
+    rotation = lights.rotation[light_index]
+    if texturing == 1:  # area
+        t = -(jnp.sum(plane[:3] * shading_position) + plane[3]) \
+            / jnp.sum(sampled_dir * plane[:3])
+        intersection = shading_position + t * sampled_dir \
+            - lights.translation[light_index]
+        plane_space = rotation.T @ intersection
+        tex_coord = plane_space[:2] * jnp.stack([
+            lights.inv_scaling_x[light_index],
+            lights.inv_scaling_y[light_index]])
+    else:
+        if texturing == 3:  # IES profile
+            lookup_dir = rotation.T @ sampled_dir
+            radiance = radiance / jnp.abs(lookup_dir[2])
+        else:  # light probe convention
+            lookup_dir = jnp.stack([-sampled_dir[0], sampled_dir[1],
+                                    sampled_dir[2]])
+        tex_coord = jnp.stack([
+            jnp.arctan2(lookup_dir[1], lookup_dir[0]) * (0.5 * M_INV_PI),
+            jnp.arccos(jnp.clip(lookup_dir[2], -1.0, 1.0)) * M_INV_PI])
+    texel = sample_texture_lod0(scene.light_atlas,
+                                scene.lights.texture_index[light_index],
+                                tex_coord)
+    return radiance * texel[:3]
+
+
+def radiance_visibility_brdf_product(scene, light_index: int, texturing: int,
+                                     occlusion_fn, trace_shadows: bool,
+                                     sampled_dir, data: ShadingData,
+                                     diffuse=True, specular=True):
+    """(brdf * radiance * visibility, lambert, visibility) (glsl:195-239)."""
+    lambert = jnp.sum(data.normal * sampled_dir)
+    visibility = lambert > 0.0
+    if trace_shadows:
+        plane = scene.lights.plane[light_index]
+        max_t = -(jnp.sum(plane[:3] * data.position) + plane[3]) \
+            / jnp.sum(sampled_dir * plane[:3])
+        occluded = occlusion_fn(data.position, sampled_dir, max_t)
+        visibility = visibility & (~occluded)
+    radiance = get_polygon_radiance(scene, light_index, texturing,
+                                    sampled_dir, data.position)
+    brdf = evaluate_brdf(data, sampled_dir, diffuse, specular)
+    value = jnp.where(visibility, radiance * brdf, 0.0)
+    return value, lambert, visibility
+
+
+# ---------------------------------------------------------------------------
+# Per-light shading (glsl:329-711)
+# ---------------------------------------------------------------------------
+
+def _light_vertices_padded(lights, light_index: int):
+    """World-space light vertices padded to MAXV lanes (first repeated)."""
+    verts = lights.vertices_world_space[light_index]  # (MAXL, 3)
+    maxl = verts.shape[0]
+    if maxl < MAXV:
+        verts = jnp.concatenate(
+            [verts, jnp.broadcast_to(verts[0], (MAXV - maxl, 3))], axis=0)
+    return verts
+
+
+def _transform_to_local(world_to_local, verts):
+    """Apply a (3,4) affine transform to (MAXV, 3) points."""
+    return verts @ world_to_local[:, :3].T + world_to_local[:, 3]
+
+
+def _mis_estimate_with_settings(settings, visibility, integrand,
+                                sampled_weight, sampled_density,
+                                other_weight, other_density, vis_estimate):
+    heuristic = {
+        MisHeuristic.BALANCE: "balance",
+        MisHeuristic.POWER: "power",
+        MisHeuristic.WEIGHTED: "weighted",
+        MisHeuristic.OPTIMAL_CLAMPED: "optimal_clamped",
+        MisHeuristic.OPTIMAL: "optimal",
+    }[settings.mis_heuristic]
+    from ..ops.mis import MisHeuristic as OpsMis
+    return mis_estimate(OpsMis(heuristic), visibility, integrand,
+                        sampled_weight, sampled_density, other_weight,
+                        other_density, vis_estimate)
+
+
+def evaluate_polygonal_light_shading(scene, static: SceneStatic,
+                                     settings: RenderSettings,
+                                     constants: FrameConstants,
+                                     occlusion_fn, light_index: int,
+                                     data: ShadingData,
+                                     ltc: LtcCoefficients,
+                                     noise_pairs):
+    """Monte Carlo shading for one light at one pixel; unbatched.
+    noise_pairs: (pairs_per_light(settings), 2)."""
+    tech = settings.polygon_sampling_technique
+    strategy = settings.sampling_strategy
+    lights = scene.lights
+    texturing = static.light_texturing[light_index]
+    trace = settings.trace_shadow_rays
+    n = settings.sample_count
+    verts_world = _light_vertices_padded(lights, light_index)
+    vertex_count = lights.vertex_count[light_index].astype(jnp.int32)
+
+    def rad_brdf(sampled_dir, diffuse=True, specular=True):
+        return radiance_visibility_brdf_product(
+            scene, light_index, texturing, occlusion_fn, trace, sampled_dir,
+            data, diffuse, specular)
+
+    def light_mis_estimate(sampled_dir, density):
+        """get_polygonal_light_mis_estimate (glsl:300-323)."""
+        value, lambert, _ = rad_brdf(sampled_dir)
+        if strategy == SamplingStrategy.DIFFUSE_ONLY:
+            return jnp.where(density > 0.0,
+                             value * (lambert / jnp.where(density > 0.0,
+                                                          density, 1.0)), 0.0)
+        elif strategy == SamplingStrategy.DIFFUSE_GGX_MIS:
+            ggx_density = ggx_reflected_direction_density(
+                data.lambert_outgoing, data.outgoing, sampled_dir,
+                data.normal, data.roughness)
+            heuristic = "power" if settings.mis_heuristic == MisHeuristic.POWER \
+                else "balance"
+            from ..ops.mis import MisHeuristic as OpsMis
+            wod = mis_weight_over_density(OpsMis(heuristic), density,
+                                          ggx_density)
+            return value * lambert * wod
+        else:
+            return jnp.zeros(3)
+
+    result = jnp.zeros(3)
+    pair_cursor = 0
+
+    def next_pair():
+        nonlocal pair_cursor
+        p = noise_pairs[pair_cursor]
+        pair_cursor += 1
+        return p
+
+    def mean_over_samples(per_sample, pairs):
+        """vmap a per-sample estimator over its noise pairs and sum.
+        The reference unrolls these loops for GPU ray-query reasons
+        (unrolling.glsl); on TPU independent samples vectorize instead."""
+        if n == 1:
+            return per_sample(pairs[0])
+        return jnp.sum(jax.vmap(per_sample)(pairs), axis=0)
+
+    def take_pairs(count):
+        nonlocal pair_cursor
+        p = noise_pairs[pair_cursor:pair_cursor + count]
+        pair_cursor += count
+        return p
+
+    # ---- world-space techniques (no clipping) ------------------------------
+    if tech == PolygonSamplingTechnique.BASELINE:
+        corner_offset = lights.translation[light_index] - data.position
+        rot = lights.rotation[light_index]
+
+        def one_sample(rnd):
+            d = normalize(corner_offset + rnd[0] * rot[:, 0]
+                          + rnd[1] * rot[:, 1])
+            return light_mis_estimate(d, F32(1.0))
+
+        result = result + mean_over_samples(one_sample, take_pairs(n))
+
+    elif tech == PolygonSamplingTechnique.AREA_TURK:
+        fan_areas = lights.fan_areas[light_index]  # (MAXL-2, 2)
+
+        def one_sample(rnd):
+            light_sample = _sample_area_polygon_turk(
+                vertex_count, verts_world, fan_areas, rnd)
+            offset = light_sample - data.position
+            dist_sq = jnp.sum(offset * offset)
+            d = offset / jnp.sqrt(dist_sq)
+            projected = jnp.abs(jnp.sum(lights.plane[light_index][:3] * d)) \
+                * lights.area[light_index]
+            density = dist_sq / projected
+            return light_mis_estimate(d, density)
+
+        result = result + mean_over_samples(one_sample, take_pairs(n))
+
+    elif tech == PolygonSamplingTechnique.SOLID_ANGLE:
+        poly = sampling.prepare_solid_angle_polygon_sampling(
+            verts_world, vertex_count, data.position)
+        density = 1.0 / jnp.where(poly.solid_angle > 0.0, poly.solid_angle, 1.0)
+
+        def one_sample(rnd):
+            d = sampling.sample_solid_angle_polygon(poly, rnd)
+            est = light_mis_estimate(d, density)
+            return jnp.where(poly.solid_angle > 0.0, est, 0.0)
+
+        result = result + mean_over_samples(one_sample, take_pairs(n))
+
+    # ---- shading-space techniques (clipping, diffuse-only family) ----------
+    elif tech == PolygonSamplingTechnique.CLIPPED_SOLID_ANGLE:
+        verts_shading = _transform_to_local(ltc.world_to_shading_space,
+                                            verts_world)
+        clipped, clip_count = clip_polygon(verts_shading, vertex_count)
+        ok = clip_count > 0
+        poly = sampling.prepare_solid_angle_polygon_sampling(
+            clipped, jnp.maximum(clip_count, 3), jnp.zeros(3))
+        density = 1.0 / jnp.where(poly.solid_angle > 0.0, poly.solid_angle, 1.0)
+        rot_t = ltc.world_to_shading_space[:, :3]  # rows = axes
+
+        def one_sample(rnd):
+            d_shading = sampling.sample_solid_angle_polygon(poly, rnd)
+            d = rot_t.T @ d_shading
+            est = light_mis_estimate(d, density)
+            return jnp.where(ok & (poly.solid_angle > 0.0), est, 0.0)
+
+        result = result + mean_over_samples(one_sample, take_pairs(n))
+
+    # ---- projected solid angle (ours), diffuse-only family + combined ------
+    elif tech in (PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE,
+                  PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_BIASED):
+        biased = tech == PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_BIASED
+        # Flip the shading frame's y if the shading point is behind the light
+        # plane to restore clockwise winding (glsl:444-452).
+        plane = lights.plane[light_index]
+        side = jnp.sum(plane[:3] * data.position) + plane[3]
+        flip = jnp.where(side < 0.0, -1.0, 1.0)
+        w2s = ltc.world_to_shading_space.at[1].multiply(flip)
+        w2c = ltc.world_to_cosine_space.at[1].multiply(flip)
+        rot_t = w2s[:, :3]
+
+        verts_shading = _transform_to_local(w2s, verts_world)
+        clipped, clip_count = clip_polygon(verts_shading, vertex_count)
+        diffuse_ok = clip_count > 0
+        poly_diffuse = sampling.prepare_projected_solid_angle_polygon_sampling(
+            clipped, jnp.maximum(clip_count, 3), biased=biased)
+        psa_d = poly_diffuse.projected_solid_angle
+        diffuse_ok = diffuse_ok & (psa_d > 0.0)
+
+        if strategy in (SamplingStrategy.DIFFUSE_ONLY,
+                        SamplingStrategy.DIFFUSE_GGX_MIS):
+            if settings.error_display in (ErrorDisplay.DIFFUSE_BACKWARD,
+                                          ErrorDisplay.DIFFUSE_BACKWARD_SCALED,
+                                          ErrorDisplay.DIFFUSE_FORWARD):
+                rnd = next_pair()
+                d = sampling.sample_projected_solid_angle_polygon(
+                    poly_diffuse, rnd, biased=biased)
+                errors = sampling.compute_projected_solid_angle_polygon_sampling_error(
+                    poly_diffuse, rnd, d)
+                error_index = {
+                    ErrorDisplay.DIFFUSE_BACKWARD: 0,
+                    ErrorDisplay.DIFFUSE_BACKWARD_SCALED: 1,
+                    ErrorDisplay.DIFFUSE_FORWARD: 2,
+                }[settings.error_display]
+                color = error_to_color(errors[error_index],
+                                       constants.error_factor)
+                return jnp.where(diffuse_ok,
+                                 color / constants.exposure_factor, 0.0)
+            def one_sample(rnd):
+                d_shading = sampling.sample_projected_solid_angle_polygon(
+                    poly_diffuse, rnd, biased=biased)
+                density = d_shading[2] / jnp.where(psa_d > 0.0, psa_d, 1.0)
+                d = rot_t.T @ d_shading
+                est = light_mis_estimate(d, density)
+                return jnp.where(diffuse_ok, est, 0.0)
+
+            result = result + mean_over_samples(one_sample, take_pairs(n))
+        else:
+            # Combined diffuse+specular strategies (glsl:506-670).
+            verts_cosine = _transform_to_local(w2c, verts_world)
+            clipped_c, clip_count_c = clip_polygon(verts_cosine, vertex_count)
+            poly_specular = sampling.prepare_projected_solid_angle_polygon_sampling(
+                clipped_c, jnp.maximum(clip_count_c, 3), biased=biased)
+            psa_s = jnp.where(clip_count_c > 0,
+                              poly_specular.projected_solid_angle, 0.0)
+            specular_ok = psa_s > 0.0
+            specular_albedo = ltc.albedo
+            specular_weight = specular_albedo * psa_s
+
+            if settings.error_display != ErrorDisplay.NONE:
+                is_specular = settings.error_display in (
+                    ErrorDisplay.SPECULAR_BACKWARD,
+                    ErrorDisplay.SPECULAR_BACKWARD_SCALED,
+                    ErrorDisplay.SPECULAR_FORWARD)
+                poly_err = poly_specular if is_specular else poly_diffuse
+                ok = specular_ok if is_specular else diffuse_ok
+                rnd = next_pair()
+                d = sampling.sample_projected_solid_angle_polygon(
+                    poly_err, rnd, biased=biased)
+                errors = sampling.compute_projected_solid_angle_polygon_sampling_error(
+                    poly_err, rnd, d)
+                error_index = {
+                    ErrorDisplay.DIFFUSE_BACKWARD: 0,
+                    ErrorDisplay.DIFFUSE_BACKWARD_SCALED: 1,
+                    ErrorDisplay.DIFFUSE_FORWARD: 2,
+                    ErrorDisplay.SPECULAR_BACKWARD: 0,
+                    ErrorDisplay.SPECULAR_BACKWARD_SCALED: 1,
+                    ErrorDisplay.SPECULAR_FORWARD: 2,
+                }[settings.error_display]
+                color = error_to_color(errors[error_index],
+                                       constants.error_factor)
+                return jnp.where(ok, color / constants.exposure_factor, 0.0)
+
+            if strategy == SamplingStrategy.DIFFUSE_SPECULAR_SEPARATELY:
+                def one_sample(pair2):
+                    d_shading = sampling.sample_projected_solid_angle_polygon(
+                        poly_diffuse, pair2[0], biased=biased)
+                    d = rot_t.T @ d_shading
+                    value, lambert, _ = rad_brdf(d, True, False)
+                    out = jnp.where(diffuse_ok, value * psa_d, 0.0)
+                    d_cosine = sampling.sample_projected_solid_angle_polygon(
+                        poly_specular, pair2[1], biased=biased)
+                    d_shading_s = normalize(
+                        ltc.cosine_to_shading_space @ d_cosine)
+                    ltc_density = evaluate_ltc_density(ltc, d_shading_s, F32(1.0))
+                    value_s, _, _ = rad_brdf(rot_t.T @ d_shading_s, False, True)
+                    spec = value_s * d_shading_s[2] * psa_s \
+                        / jnp.where(ltc_density > 0.0, ltc_density, 1.0)
+                    good = specular_ok & (d_shading_s[2] > 0.0) \
+                        & (d_cosine[2] > 0.0) & (ltc_density > 0.0)
+                    return out + jnp.where(diffuse_ok & good, spec, 0.0)
+
+                pairs2 = take_pairs(2 * n).reshape(n, 2, 2)
+                if n == 1:
+                    result = result + one_sample(pairs2[0])
+                else:
+                    result = result + jnp.sum(jax.vmap(one_sample)(pairs2), axis=0)
+
+            elif strategy == SamplingStrategy.DIFFUSE_SPECULAR_MIS:
+                diffuse_albedo = jnp.maximum(data.diffuse_albedo, 0.01)
+                diffuse_weight = diffuse_albedo * psa_d
+                rcp_psa_d = 1.0 / jnp.where(psa_d > 0.0, psa_d, 1.0)
+                rcp_psa_s = 1.0 / jnp.where(psa_s > 0.0, psa_s, 1.0)
+                specular_weight_rgb = jnp.broadcast_to(specular_weight, (3,))
+                if settings.mis_heuristic == MisHeuristic.OPTIMAL:
+                    radiance_over_pi = lights.surface_radiance[light_index] \
+                        * F32(M_INV_PI)
+                    diffuse_weight = diffuse_weight * radiance_over_pi
+                    specular_weight_rgb = specular_weight_rgb * radiance_over_pi
+                def one_sample(pair2):
+                    d_diffuse = sampling.sample_projected_solid_angle_polygon(
+                        poly_diffuse, pair2[0], biased=biased)
+                    d_spec_c = sampling.sample_projected_solid_angle_polygon(
+                        poly_specular, pair2[1], biased=biased)
+                    d_specular = normalize(
+                        ltc.cosine_to_shading_space @ d_spec_c)
+                    out = jnp.zeros(3)
+                    for j, d_shading in enumerate((d_diffuse, d_specular)):
+                        in_upper = d_shading[2] > 0.0
+                        diffuse_density = d_shading[2] * rcp_psa_d
+                        specular_density = evaluate_ltc_density(
+                            ltc, d_shading, rcp_psa_s)
+                        value, _, visibility = rad_brdf(rot_t.T @ d_shading)
+                        integrand = d_shading[2] * value
+                        if j == 0:
+                            no_mis = integrand / jnp.where(
+                                diffuse_density > 0.0, diffuse_density, 1.0)
+                            with_mis = _mis_estimate_with_settings(
+                                settings, visibility, integrand,
+                                diffuse_weight, diffuse_density,
+                                specular_weight_rgb, specular_density,
+                                constants.mis_visibility_estimate)
+                            est = jnp.where(specular_ok, with_mis, no_mis)
+                            est = jnp.where(in_upper & diffuse_ok, est, 0.0)
+                        else:
+                            with_mis = _mis_estimate_with_settings(
+                                settings, visibility, integrand,
+                                specular_weight_rgb, specular_density,
+                                diffuse_weight, diffuse_density,
+                                constants.mis_visibility_estimate)
+                            est = jnp.where(
+                                in_upper & diffuse_ok & specular_ok,
+                                with_mis, 0.0)
+                        out = out + est
+                    return out
+
+                pairs2 = take_pairs(2 * n).reshape(n, 2, 2)
+                if n == 1:
+                    result = result + one_sample(pairs2[0])
+                else:
+                    result = result + jnp.sum(jax.vmap(one_sample)(pairs2),
+                                              axis=0)
+
+            elif strategy == SamplingStrategy.DIFFUSE_SPECULAR_RANDOM:
+                lum = jnp.array([0.21263901, 0.71516868, 0.07219232])
+                diffuse_albedo = jnp.maximum(
+                    jnp.sum(data.diffuse_albedo * lum), 0.01)
+                diffuse_weight = diffuse_albedo * psa_d
+                ratio = diffuse_weight / (diffuse_weight + specular_weight)
+                def one_sample(rnd):
+                    spec_selected = rnd[0] >= ratio
+                    offset = jnp.where(spec_selected, 1.0, 0.0)
+                    r0 = (rnd[0] - offset) / (ratio - offset)
+                    rnd2 = jnp.stack([r0, rnd[1]])
+                    d_d = sampling.sample_projected_solid_angle_polygon(
+                        poly_diffuse, rnd2, biased=biased)
+                    d_s_c = sampling.sample_projected_solid_angle_polygon(
+                        poly_specular, rnd2, biased=biased)
+                    d_s = normalize(ltc.cosine_to_shading_space @ d_s_c)
+                    d_shading = jnp.where(spec_selected, d_s, d_d)
+                    lam = d_shading[2]
+                    diffuse_density = lam * diffuse_albedo
+                    specular_density = evaluate_ltc_density(ltc, d_shading,
+                                                            specular_albedo)
+                    density = (diffuse_density + specular_density) \
+                        / (diffuse_weight + specular_weight)
+                    value, _, _ = rad_brdf(rot_t.T @ d_shading)
+                    est = value * lam / jnp.where(density > 0.0, density, 1.0)
+                    return jnp.where((lam > 0.0) & diffuse_ok
+                                     & (density > 0.0), est, 0.0)
+
+                result = result + mean_over_samples(one_sample, take_pairs(n))
+        # GGX MIS extra loop shares poly_diffuse below.
+        if strategy == SamplingStrategy.DIFFUSE_GGX_MIS:
+            result = result + _ggx_mis_loop(
+                settings, constants, data, ltc, rot_t, scene, light_index,
+                texturing, occlusion_fn, verts_world, vertex_count,
+                1.0 / jnp.where(psa_d > 0.0, psa_d, 1.0), True,
+                take_pairs(n), rad_brdf)
+        return result * F32(1.0 / n)
+
+    else:
+        raise NotImplementedError(
+            f"technique {tech} not yet implemented in the TPU shading pass")
+
+    # GGX MIS companion loop for the world/shading-space techniques.
+    if strategy == SamplingStrategy.DIFFUSE_GGX_MIS:
+        if tech in (PolygonSamplingTechnique.SOLID_ANGLE,):
+            density_factor = 1.0 / jnp.where(poly.solid_angle > 0.0,
+                                             poly.solid_angle, 1.0)
+        elif tech == PolygonSamplingTechnique.CLIPPED_SOLID_ANGLE:
+            density_factor = 1.0 / jnp.where(poly.solid_angle > 0.0,
+                                             poly.solid_angle, 1.0)
+        else:
+            density_factor = F32(1.0)
+        rot_t = ltc.world_to_shading_space[:, :3]
+        result = result + _ggx_mis_loop(
+            settings, constants, data, ltc, rot_t, scene, light_index,
+            texturing, occlusion_fn, verts_world, vertex_count,
+            density_factor, False, take_pairs(n), rad_brdf)
+
+    return result * F32(1.0 / n)
+
+
+def _ggx_mis_loop(settings, constants, data, ltc, rot_t, scene, light_index,
+                  texturing, occlusion_fn, verts_world, vertex_count,
+                  density_factor, density_times_lambert: bool, pairs,
+                  rad_brdf):
+    """BRDF-sampling half of the diffuse/GGX MIS strategy (glsl:676-709)."""
+    outgoing_shading = rot_t @ data.outgoing
+    outgoing_shading = outgoing_shading.at[1].set(0.0)
+    plane = scene.lights.plane[light_index]
+    from ..ops.mis import MisHeuristic as OpsMis
+    heuristic = OpsMis("power") if settings.mis_heuristic == MisHeuristic.POWER \
+        else OpsMis("balance")
+
+    def one_sample(rnd):
+        d_shading, ggx_density = sample_ggx_reflected_direction(
+            outgoing_shading, data.roughness, rnd)
+        d_world = rot_t.T @ d_shading
+        hit = polygonal_light_ray_intersection(
+            plane, scene.lights.vertices_world_space[light_index],
+            vertex_count, data.position,
+            jnp.concatenate([d_world, jnp.zeros(1)]))
+        value, lambert, _ = rad_brdf(d_world)
+        polygon_density = (lambert * density_factor
+                           if density_times_lambert else density_factor)
+        wod = mis_weight_over_density(heuristic, ggx_density, polygon_density)
+        est = value * lambert * wod
+        return jnp.where((d_shading[2] > 0.0) & hit, est, 0.0)
+
+    if pairs.shape[0] == 1:
+        return one_sample(pairs[0])
+    return jnp.sum(jax.vmap(one_sample)(pairs), axis=0)
+
+
+def _sample_area_polygon_turk(vertex_count, verts_world, fan_areas, rnd):
+    """Uniform area sampling over the triangle fan
+    (polygon_sampling_related_work.glsl:38-64). fan_areas: (MAXL-2, 2)."""
+    maxl_minus2 = fan_areas.shape[0]
+    total_area = fan_areas[maxl_minus2 - 1, 1]
+    target = total_area * rnd[0]
+    tri = jnp.arange(maxl_minus2)
+    valid = tri + 3 <= jnp.maximum(vertex_count, 3)
+    reached = (fan_areas[:, 1] >= target) & valid
+    last = jnp.maximum(vertex_count - 3, 0)
+    sel = jnp.where(jnp.any(reached), jnp.argmax(reached), last)
+    prev_cum = jnp.where(sel > 0, fan_areas[jnp.maximum(sel - 1, 0), 1], 0.0)
+    sub_area = target - prev_cum
+    tri_area = fan_areas[sel, 0]
+    v0 = verts_world[sel + 1]
+    v1 = verts_world[0]
+    v2 = verts_world[sel + 2]
+    r0 = sub_area / jnp.where(tri_area != 0.0, tri_area, 1.0)
+    sqrt_r0 = jnp.sqrt(jnp.maximum(r0, 0.0))
+    b0 = 1.0 - sqrt_r0
+    b1 = sqrt_r0 * rnd[1]
+    b2 = -sqrt_r0 * rnd[1] + sqrt_r0
+    return b0 * v0 + b1 * v1 + b2 * v2
+
+
+def pairs_per_light(settings: RenderSettings) -> int:
+    """Static noise-pair budget per light (matches the GLSL consumption)."""
+    if settings.error_display != ErrorDisplay.NONE:
+        return max(settings.sample_count, 1)
+    per_sample = {
+        SamplingStrategy.DIFFUSE_ONLY: 1,
+        SamplingStrategy.DIFFUSE_GGX_MIS: 2,
+        SamplingStrategy.DIFFUSE_SPECULAR_SEPARATELY: 2,
+        SamplingStrategy.DIFFUSE_SPECULAR_MIS: 2,
+        SamplingStrategy.DIFFUSE_SPECULAR_RANDOM: 1,
+    }[settings.sampling_strategy]
+    return settings.sample_count * per_sample

@@ -1,0 +1,128 @@
+"""Texture sampling without texture units.
+
+TPU has no samplers, so all textures in a scene are decoded to float at
+load time, flattened into one big texel array ("atlas"), and filtered by
+explicit gathers:
+
+- trilinear mip filtering with the LOD picked from the analytic
+  screen-space derivatives that the shading pass computes
+  (shading_pass.frag.glsl:754-766 feeds textureGrad; we reproduce
+  the footprint-based LOD of the Vulkan spec's isotropic path),
+- wrap (repeat) addressing like the reference's material sampler
+  (scene.c:546-557), or clamp for LTC tables.
+
+All arrays live in HBM; gathers are XLA dynamic-gathers. A Pallas
+DMA-based path can replace this later if profiling demands it.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class TextureAtlas(NamedTuple):
+    texels: jnp.ndarray      # (N, C) float32, all mips of all textures
+    mip_offset: jnp.ndarray  # (T, L) int32 start index of mip l of texture t
+    mip_width: jnp.ndarray   # (T, L) int32
+    mip_height: jnp.ndarray  # (T, L) int32
+    mip_count: jnp.ndarray   # (T,) int32
+
+    @property
+    def max_levels(self) -> int:
+        return self.mip_offset.shape[-1]
+
+
+def build_texture_atlas(textures: "list[list[np.ndarray]]",
+                        channels: int = 4) -> TextureAtlas:
+    """textures: per texture, list of (H, W, C) float32 mips."""
+    texel_list = []
+    offsets, widths, heights, counts = [], [], [], []
+    max_levels = max(len(mips) for mips in textures)
+    cursor = 0
+    for mips in textures:
+        off, ws, hs = [], [], []
+        for m in mips:
+            h, w = m.shape[:2]
+            flat = np.zeros((h * w, channels), np.float32)
+            c = min(channels, m.shape[-1])
+            flat[:, :c] = m.reshape(h * w, -1)[:, :c]
+            if channels == 4 and m.shape[-1] < 4:
+                flat[:, 3] = 1.0
+            texel_list.append(flat)
+            off.append(cursor)
+            ws.append(w)
+            hs.append(h)
+            cursor += h * w
+        # Pad level tables by repeating the last mip.
+        while len(off) < max_levels:
+            off.append(off[-1])
+            ws.append(ws[-1])
+            hs.append(hs[-1])
+        offsets.append(off)
+        widths.append(ws)
+        heights.append(hs)
+        counts.append(len(mips))
+    return TextureAtlas(
+        texels=jnp.asarray(np.concatenate(texel_list, axis=0)),
+        mip_offset=jnp.asarray(np.array(offsets, np.int32)),
+        mip_width=jnp.asarray(np.array(widths, np.int32)),
+        mip_height=jnp.asarray(np.array(heights, np.int32)),
+        mip_count=jnp.asarray(np.array(counts, np.int32)),
+    )
+
+
+def _bilinear_wrap(atlas: TextureAtlas, tex_index, level, uv):
+    """Bilinear fetch with repeat addressing at a given mip level."""
+    w = atlas.mip_width[tex_index, level]
+    h = atlas.mip_height[tex_index, level]
+    offset = atlas.mip_offset[tex_index, level]
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    x = uv[..., 0] * wf - 0.5
+    y = uv[..., 1] * hf - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    #
+
+    def fetch(xi, yi):
+        xi = jnp.mod(xi, w)
+        yi = jnp.mod(yi, h)
+        return atlas.texels[offset + yi * w + xi]
+
+    t00 = fetch(x0i, y0i)
+    t10 = fetch(x0i + 1, y0i)
+    t01 = fetch(x0i, y0i + 1)
+    t11 = fetch(x0i + 1, y0i + 1)
+    top = t00 + fx[..., None] * (t10 - t00)
+    bottom = t01 + fx[..., None] * (t11 - t01)
+    return top + fy[..., None] * (bottom - top)
+
+
+def sample_texture_grad(atlas: TextureAtlas, tex_index, uv, duv_dx, duv_dy):
+    """textureGrad equivalent: trilinear with derivative-driven LOD."""
+    w0 = atlas.mip_width[tex_index, 0].astype(jnp.float32)
+    h0 = atlas.mip_height[tex_index, 0].astype(jnp.float32)
+    # Isotropic footprint (Vulkan spec rho = max of scaled derivative norms).
+    rho_x = jnp.sqrt((duv_dx[..., 0] * w0) ** 2 + (duv_dx[..., 1] * h0) ** 2)
+    rho_y = jnp.sqrt((duv_dy[..., 0] * w0) ** 2 + (duv_dy[..., 1] * h0) ** 2)
+    rho = jnp.maximum(jnp.maximum(rho_x, rho_y), 1e-12)
+    max_level = (atlas.mip_count[tex_index] - 1).astype(jnp.float32)
+    lod = jnp.clip(jnp.log2(rho), 0.0, max_level)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, atlas.mip_count[tex_index] - 1)
+    frac = lod - l0.astype(jnp.float32)
+    c0 = _bilinear_wrap(atlas, tex_index, l0, uv)
+    c1 = _bilinear_wrap(atlas, tex_index, l1, uv)
+    return c0 + frac[..., None] * (c1 - c0)
+
+
+def sample_texture_lod0(atlas: TextureAtlas, tex_index, uv):
+    """textureLod(.., 0) equivalent (used for light textures)."""
+    return _bilinear_wrap(atlas, tex_index, jnp.int32(0), uv)

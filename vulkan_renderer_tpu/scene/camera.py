@@ -66,20 +66,31 @@ def get_world_to_projection_space(camera: FirstPersonCamera,
 def get_pixel_to_ray_direction_world_space(camera: FirstPersonCamera,
                                            width: int, height: int) -> np.ndarray:
     """3x3 matrix mapping (pixel_x, pixel_y, 1) to an (unnormalized) world
-    ray direction; reference: main.c:2136-2157."""
-    world_to_proj = get_world_to_projection_space(camera, width / height)
-    no_translation = world_to_proj.copy()
-    no_translation[0:3, 3] = 0.0
-    proj_to_world = np.linalg.inv(no_translation.astype(np.float64))
+    ray direction.
+
+    The reference builds this by inverting the translation-stripped VP
+    matrix (main.c:2136-2157), which is singular for some ordinary camera
+    poses (e.g. view direction perpendicular to the camera position
+    vector). We construct the same map directly from the camera basis —
+    identical (up to a constant scale, which cancels everywhere the matrix
+    is used) and always well-defined:
+      ndc = viewport_transform(pixel); dir_view = (-ndc.x*right, ndc.y*top,
+      -1); dir_world = R_view_to_world @ dir_view.
+    The -right factor mirrors the reference's negated-x projection
+    (camera.c:59-71)."""
+    view = get_world_to_view_space(camera).astype(np.float64)
+    rotation_view_to_world = view[:3, :3].T
+    top = np.tan(0.5 * camera.vertical_fov)
+    right = (width / height) * top
 
     vt0 = 2.0 / width
     vt1 = 2.0 / height
     vt2 = 0.5 * vt0 - 1.0
     vt3 = 0.5 * vt1 - 1.0
-    pixel_to_ray_proj = np.array([
-        [vt0, 0.0, vt2],
-        [0.0, vt1, vt3],
-        [0.0, 0.0, 1.0],
-        [0.0, 0.0, 1.0],
+    # pixel (px, py, 1) -> dir_view = (-right*(vt0*px+vt2), top*(vt1*py+vt3), -1)
+    pixel_to_dir_view = np.array([
+        [-right * vt0, 0.0, -right * vt2],
+        [0.0, top * vt1, top * vt3],
+        [0.0, 0.0, -1.0],
     ], np.float64)
-    return (proj_to_world[:3, :4] @ pixel_to_ray_proj).astype(np.float32)
+    return (rotation_view_to_world @ pixel_to_dir_view).astype(np.float32)
