@@ -69,9 +69,9 @@ def load_ltc_table_files(directory: str, fresnel_count: int = 51) -> LtcTable:
         t0_slices.append(data_0.reshape(res, res, 4))
         t1_slices.append(data_1.reshape(res, res, 2))
     constants = make_ltc_constants(fresnel_count, resolution, resolution)
-    return LtcTable(table0=jnp.asarray(np.stack(t0_slices)),
-                    table1=jnp.asarray(np.stack(t1_slices)),
-                    constants=constants)
+    merged = np.concatenate([np.stack(t0_slices), np.stack(t1_slices)],
+                            axis=-1)
+    return LtcTable(table=jnp.asarray(merged), constants=constants)
 
 
 def save_ltc_table_files(directory: str, records: np.ndarray) -> None:
@@ -130,5 +130,5 @@ def identity_ltc_table(roughness_count: int = 32, inclination_count: int = 32,
         mu[None, :, None],
         f0[:, None, None])
     table1[..., 1] = albedo
-    return LtcTable(table0=jnp.asarray(table0), table1=jnp.asarray(table1),
-                    constants=constants)
+    merged = np.concatenate([table0, table1], axis=-1)
+    return LtcTable(table=jnp.asarray(merged), constants=constants)

@@ -26,15 +26,15 @@ class LtcConstants(NamedTuple):
 
 
 class LtcTable(NamedTuple):
-    """Dequantized LTC fit tables.
+    """Dequantized LTC fit tables, merged for a single bilinear fetch.
 
-    table0: (F, I, R, 4) float32 — entries (m00, m02_neg, m11, m20) of the
-        normalized inverse transform (see ltc_table.c:86-116).
-    table1: (F, I, R, 2) float32 — (m22, albedo).
+    table: (F, I, R, 6) float32 — (m00, m02_neg, m11, m20, m22, albedo):
+        channels 0-3 are the reference's RGBA16 texture, channels 4-5 its
+        RG16 texture (ltc_table.c:86-116); merging halves the gather count
+        on TPU where both were always fetched together.
     constants: LtcConstants.
     """
-    table0: jnp.ndarray
-    table1: jnp.ndarray
+    table: jnp.ndarray
     constants: LtcConstants
 
 
@@ -84,8 +84,9 @@ def get_ltc_coefficients(table: LtcTable, fresnel_0, roughness,
     layer = jnp.clip(fresnel_0, 0.0, 1.0) * c.fresnel_index_factor \
         + c.fresnel_index_summand
 
-    data_0 = _bilinear_fetch(table.table0, tex_x, tex_y, layer)
-    data_1 = _bilinear_fetch(table.table1, tex_x, tex_y, layer)
+    data = _bilinear_fetch(table.table, tex_x, tex_y, layer)
+    data_0 = data[..., 0:4]
+    data_1 = data[..., 4:6]
 
     # shading_to_cosine_space (column-major in GLSL):
     #   [ d0x  0  d0w ]

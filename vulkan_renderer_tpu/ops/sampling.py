@@ -251,8 +251,10 @@ def _compare_and_swap(vertices, ellipses, lhs: int, rhs: int):
     return vertices, ellipses
 
 
-def _sort_convex_polygon_vertices(vertices, ellipses, vertex_count):
-    """Counterclockwise sort via the per-count sorting network."""
+def _sort_convex_polygon_vertices_network(vertices, ellipses, vertex_count):
+    """Counterclockwise sort via the reference's per-count sorting networks
+    (kept for cross-validation; the rotation-based sort below is ~10x
+    cheaper on TPU because a vmapped lax.switch executes every network)."""
     def make_branch(n):
         def branch(args):
             v, e = args
@@ -264,6 +266,28 @@ def _sort_convex_polygon_vertices(vertices, ellipses, vertex_count):
     branches = [make_branch(n) for n in range(3, MAXV + 1)]
     idx = jnp.clip(vertex_count - 3, 0, MAXV - 3)
     return jax.lax.switch(idx, branches, (vertices, ellipses))
+
+
+def _sort_convex_polygon_vertices(vertices, ellipses, vertex_count):
+    """Counterclockwise sort by relative angle (single argsort).
+
+    The decentral case guarantees all vertex directions lie within one
+    half-plane (origin outside the projected polygon), so signed angles
+    relative to any vertex direction stay inside (-pi, pi) — no wraparound
+    — and one argsort reproduces the reference's network order at ~10x
+    less TPU cost than the vmapped lax.switch over six networks.
+    """
+    lanes = jnp.arange(MAXV)
+    count = jnp.maximum(vertex_count, 3)
+    active = lanes < count
+    ref = vertices[0]
+    cross = kahan(ref[0], vertices[:, 1], ref[1], vertices[:, 0])
+    dot = ref[0] * vertices[:, 0] + ref[1] * vertices[:, 1]
+    keys = jnp.arctan2(cross, dot)
+    keys = jnp.where(active, keys, jnp.inf)
+    order = jnp.argsort(keys, stable=True)
+    order = jnp.where(active, order, lanes)
+    return vertices[order], ellipses[order]
 
 
 def prepare_projected_solid_angle_polygon_sampling(vertices, vertex_count,

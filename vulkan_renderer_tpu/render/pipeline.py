@@ -29,6 +29,7 @@ from .shading import (INVALID_PRIMITIVE, FrameConstants, SceneStatic,
 from ..ops.intersect import polygonal_light_ray_intersection
 from ..ops.math_utils import normalize
 from .shading import get_polygon_radiance
+from .bvh import make_bvh_closest_hit, make_bvh_occlusion
 from .visibility import make_bruteforce_occlusion, trace_primary_bruteforce
 
 
@@ -102,16 +103,17 @@ def _postprocess(color, settings: RenderSettings):
     (glsl:867-893). color: (..., 3) linear."""
     if settings.frame_bits > 0:
         # Pack half-float bytes into LDR channels for 2-frame HDR capture.
+        # (The reference additionally counter-converts sRGB when the
+        # swapchain applies a hardware linear->sRGB step,
+        # shading_pass.frag.glsl:884-889; our framebuffer is raw floats, so
+        # the bytes are emitted untouched.)
         half_bits = jax.lax.bitcast_convert_type(
             color.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
         if settings.frame_bits == 1:
             bytes_ = half_bits & 0xFF
         else:
             bytes_ = (half_bits & 0xFF00) >> 8
-        out = bytes_.astype(jnp.float32) / 255.0
-        if settings.output_linear_rgb:
-            out = srgb_to_linear(out)
-        return out
+        return bytes_.astype(jnp.float32) / 255.0
     if not settings.output_linear_rgb:
         return linear_to_srgb(color)
     return color
@@ -132,11 +134,17 @@ def render_frame_jit(scene: Scene, static: SceneStatic,
     ray_dirs = (jnp.concatenate([pixels_f, jnp.ones_like(pixels_f[:, :1])],
                                 axis=-1) @ constants.pixel_to_ray.T)
 
-    primitive_index, _ = trace_primary_bruteforce(
-        scene.triangle_positions, constants.camera_position, ray_dirs)
-
-    occlusion_fn = make_bruteforce_occlusion(scene.triangle_positions) \
-        if settings.trace_shadow_rays else None
+    if static.use_bvh:
+        closest = make_bvh_closest_hit(scene.bvh)
+        primitive_index, _ = jax.vmap(
+            lambda d: closest(constants.camera_position, d))(ray_dirs)
+        occlusion_fn = make_bvh_occlusion(scene.bvh) \
+            if settings.trace_shadow_rays else None
+    else:
+        primitive_index, _ = trace_primary_bruteforce(
+            scene.triangle_positions, constants.camera_position, ray_dirs)
+        occlusion_fn = make_bruteforce_occlusion(scene.triangle_positions) \
+            if settings.trace_shadow_rays else None
 
     ppl = pairs_per_light(settings)
     total_pairs = max(ppl * static.light_count, 1)

@@ -52,6 +52,9 @@ class SceneStatic:
     light_count: int
     light_texturing: tuple  # per light: PolygonTexturing int
     max_light_vertex_count: int = MAXV - 1
+    # Traversal backend: brute force for small scenes, threaded BVH for
+    # large ones (selected at scene build; static -> jit specialization).
+    use_bvh: bool = False
 
 
 class FrameConstants(NamedTuple):
@@ -117,16 +120,13 @@ def get_shading_data(scene, constants: FrameConstants,
     tex_coord_derivs = jnp.einsum("db,bu->du", bary_derivs, tex_coords)
 
     material_index = scene.material_indices[primitive_index]
-    base_color = sample_texture_grad(
-        scene.material_atlas, 3 * material_index + 0, tex_coord,
-        tex_coord_derivs[0], tex_coord_derivs[1])[:3]
-    specular_data = sample_texture_grad(
-        scene.material_atlas, 3 * material_index + 1, tex_coord,
-        tex_coord_derivs[0], tex_coord_derivs[1])[:3]
-    normal_ts_xy = sample_texture_grad(
-        scene.material_atlas, 3 * material_index + 2, tex_coord,
-        tex_coord_derivs[0], tex_coord_derivs[1])[:2]
-    normal_ts_xy = normal_ts_xy * 2.0 - 1.0
+    # One 8-channel fetch: [base.rgb, specular.rgb, normal.xy].
+    texel = sample_texture_grad(
+        scene.material_atlas, material_index, tex_coord,
+        tex_coord_derivs[0], tex_coord_derivs[1])
+    base_color = texel[0:3]
+    specular_data = texel[3:6]
+    normal_ts_xy = texel[6:8] * 2.0 - 1.0
     normal_ts_z = jnp.sqrt(jnp.maximum(
         0.0, 1.0 - normal_ts_xy[0] ** 2 - normal_ts_xy[1] ** 2))
 

@@ -19,6 +19,7 @@ from ..assets.ltc_table import identity_ltc_table
 from ..assets.noise import NoiseTable, NoiseType, load_noise_table
 from ..assets.vks import SceneMesh, load_vks
 from ..ops.ltc import LtcTable
+from ..render.bvh import Bvh, build_bvh
 from ..render.texture import TextureAtlas, build_texture_atlas
 from .lights import PolygonalLight, PolygonalLightSpec, stack_lights, \
     update_polygonal_light
@@ -36,38 +37,69 @@ class Scene(NamedTuple):
     triangle_normals: jnp.ndarray     # (T, 3, 3) f32 (decoded octahedral)
     triangle_tex_coords: jnp.ndarray  # (T, 3, 2) f32
     material_indices: jnp.ndarray     # (T,) i32
-    # Textures: 3 per material, index = 3 * material + {0,1,2}.
+    # Textures: one packed 8-channel texture per material
+    # [base.rgb, specular.rgb, normal.xy]; index = material index.
     material_atlas: TextureAtlas
     # Lights (stacked, leading light axis).
     lights: PolygonalLight
     light_atlas: TextureAtlas
     # Tables.
     ltc: LtcTable
+    bvh: Bvh
     noise_table: jnp.ndarray          # (L, H, W, 4) f32 in [0, 1]
     noise_resolution_mask: jnp.ndarray   # (2,) u32
     noise_texture_index_mask: jnp.ndarray  # () u32
 
 
+def _nearest_resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    ys = (np.arange(h) * img.shape[0] // h).clip(0, img.shape[0] - 1)
+    xs = (np.arange(w) * img.shape[1] // w).clip(0, img.shape[1] - 1)
+    return img[ys][:, xs]
+
+
 def _decode_material_textures(texture_dir: str, material_names: list[str]
                               ) -> list[list[np.ndarray]]:
-    """Decode <mat>_{BaseColor,Specular,Normal}.vkt mips (scene.c:523-543).
-    Missing files fall back to neutral constants."""
+    """Decode <mat>_{BaseColor,Specular,Normal}.vkt mips (scene.c:523-543)
+    and pack them into ONE 8-channel texture per material:
+    [base.rgb | occlusion, roughness, metalicity | normal.xy].
+
+    TPU motivation: the shading pass fetches all three textures at the
+    same (uv, derivatives); packing turns 3 trilinear fetches (24 gathers)
+    into 1 fetch of 8-channel texels (8 gathers of contiguous rows).
+    Missing files fall back to neutral constants.
+    """
     fallbacks = {
-        "BaseColor": np.full((4, 4, 4), 0.8, np.float32),
-        "Specular": np.tile(np.array([1.0, 0.5, 0.0, 1.0], np.float32),
+        "BaseColor": np.full((4, 4, 3), 0.8, np.float32),
+        "Specular": np.tile(np.array([1.0, 0.5, 0.0], np.float32),
                             (4, 4, 1)),
-        "Normal": np.tile(np.array([0.5, 0.5, 1.0, 1.0], np.float32),
-                          (4, 4, 1)),
+        "Normal": np.tile(np.array([0.5, 0.5], np.float32), (4, 4, 1)),
     }
     textures = []
     for name in material_names:
+        mips_by_kind = []
         for suffix in MATERIAL_TEXTURE_SUFFIXES:
             path = os.path.join(texture_dir, f"{name}_{suffix}.vkt")
             if os.path.exists(path):
-                tex = vkt.load_vkt(path)
-                textures.append(tex.decode_to_float())
+                mips_by_kind.append(vkt.load_vkt(path).decode_to_float())
             else:
-                textures.append([fallbacks[suffix]])
+                mips_by_kind.append([fallbacks[suffix]])
+        # Harmonize mip chains to the BaseColor chain's resolutions.
+        base_mips = mips_by_kind[0]
+        packed = []
+        for level, base in enumerate(base_mips):
+            h, w = base.shape[:2]
+            spec = mips_by_kind[1][min(level, len(mips_by_kind[1]) - 1)]
+            norm = mips_by_kind[2][min(level, len(mips_by_kind[2]) - 1)]
+            if spec.shape[:2] != (h, w):
+                spec = _nearest_resize(spec, h, w)
+            if norm.shape[:2] != (h, w):
+                norm = _nearest_resize(norm, h, w)
+            out = np.empty((h, w, 8), np.float32)
+            out[..., 0:3] = base[..., :3]
+            out[..., 3:6] = spec[..., :3]
+            out[..., 6:8] = norm[..., :2]
+            packed.append(out)
+        textures.append(packed)
     return textures
 
 
@@ -97,7 +129,8 @@ def build_scene(mesh: SceneMesh, texture_dir: str,
     tex_coords = mesh.decoded_tex_coords().reshape(-1, 3, 2)
 
     material_atlas = build_texture_atlas(
-        _decode_material_textures(texture_dir, mesh.material_names))
+        _decode_material_textures(texture_dir, mesh.material_names),
+        channels=8)
 
     light_textures, path_to_index = _decode_light_textures(
         [spec.texture_file_path for spec in light_specs])
@@ -111,6 +144,8 @@ def build_scene(mesh: SceneMesh, texture_dir: str,
     if ltc is None:
         ltc = identity_ltc_table()
 
+    bvh = build_bvh(positions)
+
     return Scene(
         triangle_positions=jnp.asarray(positions),
         triangle_normals=jnp.asarray(normals),
@@ -120,6 +155,7 @@ def build_scene(mesh: SceneMesh, texture_dir: str,
         lights=stack_lights(lights),
         light_atlas=light_atlas,
         ltc=ltc,
+        bvh=bvh,
         noise_table=jnp.asarray(
             noise.table.astype(np.float32) / 65535.0),
         noise_resolution_mask=jnp.asarray(noise.resolution_mask),
