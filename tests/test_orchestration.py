@@ -1,0 +1,120 @@
+"""Tests for the application layer: timer, update engine, experiments."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vulkan_renderer_tpu.core.app import (Application, ApplicationUpdates,
+                                          SceneSpecification)
+from vulkan_renderer_tpu.core.settings import (PolygonSamplingTechnique,
+                                               RenderSettings,
+                                               SamplingStrategy)
+from vulkan_renderer_tpu.core.timer import FrameTimer, WarmupProtocol
+from vulkan_renderer_tpu.experiments.harness import (Experiment,
+                                                     create_experiment_list,
+                                                     run_experiments)
+from vulkan_renderer_tpu.scene.lights import PolygonalLightSpec
+from vulkan_renderer_tpu.tools.export_scene import write_test_scene
+
+
+def test_frame_timer_median():
+    timer = FrameTimer()
+    t = 0.0
+    # 10 frames at 10ms, one 100ms outlier; the median is robust to it.
+    for delta in [0.01] * 10 + [0.1] + [0.01] * 10:
+        t += delta
+        timer.record(t)
+    assert timer.median_frame_time() == pytest.approx(0.01, abs=1e-6)
+
+
+def test_warmup_protocol():
+    warmup = WarmupProtocol(min_seconds=0.0, min_frames=3)
+    assert not warmup.ready
+    for _ in range(3):
+        warmup.frame()
+    assert warmup.ready
+
+
+@pytest.fixture(scope="module")
+def app(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("appscene"))
+    vks = write_test_scene(d, "cornell_box", texture_resolution=16)
+    spec = SceneSpecification(
+        name="cornell_box", vks_path=vks,
+        texture_dir=os.path.join(d, "cornell_box_textures"),
+        quicksave_path=os.path.join(d, "test.save"),
+        lights=[PolygonalLightSpec(
+            translation=np.array([1.0, 1.0, 1.99], np.float32),
+            rotation_angles=np.array([np.pi, 0, 0], np.float32),
+            scaling_x=0.4, scaling_y=0.4,
+            radiant_flux=np.array([20.0, 20.0, 20.0], np.float32))])
+    spec.camera.position_world_space = np.array([1.0, 0.15, 1.0], np.float32)
+    spec.camera.rotation_x = np.pi / 2
+    spec.camera.rotation_z = np.pi
+    settings = RenderSettings(
+        sampling_strategy=SamplingStrategy.DIFFUSE_ONLY,
+        polygon_sampling_technique=PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE,
+        sample_count=1)
+    return Application(spec, settings, width=16, height=16,
+                       data_directory=d)
+
+
+def test_application_renders(app):
+    img = app.render_frame_sync()
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img).all()
+
+
+def test_application_pipelined_frames(app):
+    for _ in range(6):
+        app.render_frame_async()
+    # Drain.
+    img = app.render_frame_sync()
+    assert img.shape == (16, 16, 3)
+
+
+def test_application_quicksave_roundtrip(app):
+    app.update(ApplicationUpdates(quick_save=True))
+    assert os.path.exists(app.scene_spec.quicksave_path)
+    old_pos = app.scene_spec.camera.position_world_space.copy()
+    app.scene_spec.camera.position_world_space = np.zeros(3, np.float32)
+    app.update(ApplicationUpdates(quick_load=True))
+    np.testing.assert_allclose(app.scene_spec.camera.position_world_space,
+                               old_pos)
+
+
+def test_application_noise_regen(app):
+    before = np.asarray(app.scene.noise_table)
+    app.update(ApplicationUpdates(regenerate_noise=True))
+    after = np.asarray(app.scene.noise_table)
+    np.testing.assert_array_equal(before, after)  # white noise deterministic
+
+
+def test_experiment_list_structure():
+    experiments = create_experiment_list()
+    # Timing sweep alone: 5 vertex counts x 2 cases x 2 light configs x 13
+    # techniques = 260 entries (experiment_list.c:364-409).
+    timing = [e for e in experiments if "timing_" in e.screenshot_path]
+    assert len(timing) == 5 * 2 * 2 * 13
+    # Figure groups present.
+    assert any("error_" in e.screenshot_path for e in experiments)
+    assert any("mis_" in e.screenshot_path for e in experiments)
+    assert any("bias_" in e.screenshot_path for e in experiments)
+    assert any(e.settings.sample_count == 2048 for e in experiments)
+
+
+def test_run_experiments_protocol(app, tmp_path):
+    exp = Experiment(
+        width=16, height=16, scene="cornell_box",
+        settings=app.settings,
+        screenshot_path=str(tmp_path / "result_%.3f.png"))
+
+    results = run_experiments(
+        [exp], lambda e: app,
+        min_warmup_seconds=0.0, min_warmup_frames=2, measure_frames=5)
+    assert len(results) == 1
+    assert results[0].frame_time_ms > 0.0
+    assert os.path.exists(results[0].screenshot_path)
+    # The measured ms is embedded in the filename.
+    assert "%.3f" not in results[0].screenshot_path

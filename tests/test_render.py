@@ -173,3 +173,29 @@ def test_error_display_runs(cornell):
                  polygon_sampling_technique=T.PROJECTED_SOLID_ANGLE,
                  error_display=ErrorDisplay.DIFFUSE_BACKWARD, sample_count=1)
     assert np.isfinite(img).all()
+
+
+def test_all_13_techniques_run_and_agree(cornell):
+    """Every polygon sampling technique from the paper's matrix
+    (polygonal_light.h:30-69) renders finite images; the unbiased ones
+    agree. BASELINE is intentionally broken (timing hygiene) and URENA
+    assumes rectangle lights, so they are checked for finiteness only."""
+    unbiased = [T.AREA_TURK, T.SOLID_ANGLE_ARVO, T.SOLID_ANGLE,
+                T.CLIPPED_SOLID_ANGLE,
+                T.BILINEAR_COSINE_WARP_CLIPPING_HART,
+                T.BIQUADRATIC_COSINE_WARP_CLIPPING_HART,
+                T.PROJECTED_SOLID_ANGLE_ARVO, T.PROJECTED_SOLID_ANGLE,
+                T.PROJECTED_SOLID_ANGLE_BIASED]
+    finite_only = [T.BASELINE, T.RECTANGLE_SOLID_ANGLE_URENA,
+                   T.BILINEAR_COSINE_WARP_HART,
+                   T.BIQUADRATIC_COSINE_WARP_HART]
+    means = {}
+    for tech in unbiased + finite_only:
+        img = render(cornell, sampling_strategy=S.DIFFUSE_ONLY,
+                     polygon_sampling_technique=tech, sample_count=24)
+        assert np.isfinite(img).all(), tech
+        means[tech] = img.mean()
+    base = means[T.PROJECTED_SOLID_ANGLE]
+    for tech in unbiased:
+        assert means[tech] == pytest.approx(base, rel=0.15), (tech, means[tech],
+                                                              base)

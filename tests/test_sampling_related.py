@@ -113,3 +113,80 @@ def test_hart_warp_density_consistency(warp, rng):
     est = float(jnp.mean(g(dirs) / densities))
     exact_int = integrate_over_polygon_solid_angle(verts, g)
     assert est == pytest.approx(exact_int, rel=0.02)
+
+
+# ===========================================================================
+# Arvo projected solid angle sampling
+# ===========================================================================
+
+from vulkan_renderer_tpu.ops import sampling_arvo_psa as arvo
+from vulkan_renderer_tpu.ops import sampling as ours
+from tests.test_sampling import exact_projected_solid_angle
+
+
+@pytest.mark.parametrize("n,central", [(4, False), (5, False), (4, True)])
+def test_arvo_psa_total(n, central, rng):
+    for _ in range(5):
+        if central:
+            verts = make_polygon(rng, n, center_dir=[0, 0, 1.0], radius=1.0,
+                                 distance=1.5, spread=True)
+        else:
+            verts = make_polygon(rng, n, center_dir=[0.6, 0.3, 0.74],
+                                 radius=0.4, distance=2.0)
+        poly = arvo.prepare_projected_solid_angle_polygon_sampling_arvo(
+            jnp.asarray(pad_polygon(verts)), jnp.int32(n))
+        assert bool(arvo.is_central_case_arvo(poly)) == central
+        exact = exact_projected_solid_angle(verts)
+        assert float(poly.projected_solid_angle) == pytest.approx(exact,
+                                                                  rel=2e-3)
+
+
+@pytest.mark.parametrize("central", [False, True])
+def test_arvo_psa_importance_consistency(central, rng):
+    if central:
+        verts = make_polygon(rng, 4, center_dir=[0, 0, 1.0], radius=1.2,
+                             distance=1.2, spread=True)
+    else:
+        verts = make_polygon(rng, 4, center_dir=[0.5, -0.2, 0.84],
+                             radius=0.5, distance=2.0)
+    poly = arvo.prepare_projected_solid_angle_polygon_sampling_arvo(
+        jnp.asarray(pad_polygon(verts)), jnp.int32(4))
+    psa = float(poly.projected_solid_angle)
+
+    def g(d):
+        return 1.0 + 0.3 * d[..., 1] + 0.5 * d[..., 2]
+
+    rnd = jnp.asarray(rng.uniform(1e-3, 1 - 1e-3, (150_000, 2))
+                      .astype(np.float32))
+    dirs = jax.vmap(
+        lambda r: arvo.sample_projected_solid_angle_polygon_arvo(
+            poly, r, 3))(rnd)
+    dirs_np = np.asarray(dirs)
+    assert np.all(np.isfinite(dirs_np))
+    z = np.maximum(dirs_np[:, 2], 1e-8)
+    est = psa * float(np.mean(np.asarray(g(dirs)) / z))
+    exact = integrate_over_polygon_solid_angle(verts, g)
+    assert est == pytest.approx(exact, rel=0.02)
+
+
+def test_arvo_psa_backward_error(rng):
+    worst = 0.0
+    for _ in range(5):
+        verts = make_polygon(rng, 5, center_dir=[0.4, 0.2, 0.89],
+                             radius=0.45, distance=1.8)
+        poly = arvo.prepare_projected_solid_angle_polygon_sampling_arvo(
+            jnp.asarray(pad_polygon(verts)), jnp.int32(5))
+        if bool(arvo.is_central_case_arvo(poly)):
+            continue
+        rnd = jnp.asarray(rng.uniform(1e-3, 1 - 1e-3, (256, 2))
+                          .astype(np.float32))
+        dirs = jax.vmap(
+            lambda r: arvo.sample_projected_solid_angle_polygon_arvo(
+                poly, r, 3))(rnd)
+        errors = jax.vmap(
+            lambda r, d:
+            arvo.compute_projected_solid_angle_polygon_sampling_error_arvo(
+                poly, r, d))(rnd, dirs)
+        worst = max(worst, float(np.quantile(
+            np.abs(np.asarray(errors)[:, 0]), 0.95)))
+    assert worst < 1e-4  # Arvo's method is less accurate than ours by design

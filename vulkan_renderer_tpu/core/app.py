@@ -1,0 +1,179 @@
+"""Application orchestration: the dependency-tracked rebuild engine and the
+pipelined frame loop.
+
+TPU-native equivalent of main.c's application layer:
+- ApplicationUpdates + Application.update() reproduce the flag-propagation
+  rebuild engine (main.c:1804-1886): each raised flag dirties exactly the
+  dependent host-side resources (scene, noise, light textures); everything
+  the reference rebuilt as Vulkan pipelines is covered by jit retracing on
+  the static RenderSettings instead.
+- The frame loop keeps N frames in flight (main.h:359-390 fence ring):
+  JAX dispatch is asynchronous, so pipelining is a bounded queue of
+  in-flight device arrays that we block on N frames late.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import deque
+
+import numpy as np
+
+from ..assets.noise import (INITIAL_RANDOM_SEED, NoiseType,
+                            advance_noise_random_numbers)
+from ..assets.quicksave import Quicksave, load_quicksave, save_quicksave
+from ..render.pipeline import render_frame_jit, make_frame_constants
+from ..render.shading import SceneStatic
+from ..scene.camera import FirstPersonCamera
+from ..scene.lights import PolygonalLightSpec
+from ..scene.scene import Scene, load_scene
+from .settings import RenderSettings
+from .timer import FrameTimer
+
+
+@dataclasses.dataclass
+class ApplicationUpdates:
+    """application_updates_t (main.h:430-454)."""
+    startup: bool = False
+    recreate_swapchain: bool = False  # here: resolution change
+    reload_scene: bool = False
+    update_light_count: bool = False
+    update_light_textures: bool = False
+    change_shading: bool = False
+    regenerate_noise: bool = False
+    quick_load: bool = False
+    quick_save: bool = False
+
+    def any(self) -> bool:
+        return any(dataclasses.asdict(self).values())
+
+
+@dataclasses.dataclass
+class SceneSpecification:
+    """scene_specification_t: file paths + camera + lights."""
+    name: str = "cornell_box"
+    vks_path: str = ""
+    texture_dir: str = ""
+    quicksave_path: str = ""
+    camera: FirstPersonCamera = dataclasses.field(
+        default_factory=FirstPersonCamera)
+    lights: list = dataclasses.field(default_factory=list)
+
+
+class Application:
+    """Headless application: owns the scene, settings and frame loop."""
+
+    def __init__(self, scene_spec: SceneSpecification,
+                 settings: RenderSettings | None = None,
+                 width: int = 1920, height: int = 1080,
+                 frames_in_flight: int = 3, data_directory: str = "data"):
+        self.scene_spec = scene_spec
+        self.settings = settings or RenderSettings()
+        self.width = width
+        self.height = height
+        self.frames_in_flight = frames_in_flight
+        self.data_directory = data_directory
+        self.timer = FrameTimer()
+        self.noise_seed = INITIAL_RANDOM_SEED
+        self.scene: Scene | None = None
+        self.static: SceneStatic | None = None
+        self._in_flight: deque = deque()
+        self.update(ApplicationUpdates(startup=True))
+
+    # -- update engine (main.c:1804-1886) ---------------------------------
+
+    def update(self, updates: ApplicationUpdates) -> None:
+        # Flag fixed-point propagation (main.c:1838-1847): scene-level
+        # changes imply downstream rebuilds.
+        if updates.startup:
+            updates.reload_scene = True
+            updates.regenerate_noise = True
+        if updates.quick_load and self.scene_spec.quicksave_path:
+            save = load_quicksave(self.scene_spec.quicksave_path)
+            self.scene_spec.camera = save.camera
+            if len(save.lights) != len(self.scene_spec.lights):
+                updates.update_light_count = True
+            self.scene_spec.lights = save.lights
+        if updates.quick_save and self.scene_spec.quicksave_path:
+            save_quicksave(self.scene_spec.quicksave_path, Quicksave(
+                camera=self.scene_spec.camera,
+                lights=self.scene_spec.lights))
+        if updates.reload_scene or updates.update_light_count \
+                or updates.update_light_textures:
+            # Rebuilding the scene pytree covers mesh buffers, BVH, light
+            # textures and constant-buffer sizing in one shot.
+            self._rebuild_scene()
+        if updates.regenerate_noise:
+            self.noise_seed = INITIAL_RANDOM_SEED
+            self._rebuild_scene_noise()
+        # change_shading / recreate_swapchain need no host action: the
+        # static (settings, width, height) jit key retraces automatically.
+
+    def _rebuild_scene(self) -> None:
+        from ..assets.noise import NoiseType
+        self.scene = load_scene(
+            self.scene_spec.vks_path, self.scene_spec.texture_dir,
+            self.scene_spec.lights,
+            noise_type=NoiseType(self.settings.noise_type)
+            if _is_valid_noise(self.settings.noise_type) else NoiseType.WHITE,
+            data_directory=self.data_directory)
+        self.static = SceneStatic(
+            light_count=len(self.scene_spec.lights),
+            light_texturing=tuple(
+                spec.texturing_technique for spec in self.scene_spec.lights),
+            use_bvh=self.scene.triangle_positions.shape[0] > 4096,
+        )
+
+    def _rebuild_scene_noise(self) -> None:
+        if self.scene is None:
+            return
+        from ..assets.noise import load_noise_table
+        noise_type = NoiseType(self.settings.noise_type) \
+            if _is_valid_noise(self.settings.noise_type) else NoiseType.WHITE
+        table = load_noise_table(noise_type, self.data_directory)
+        import jax.numpy as jnp
+        self.scene = self.scene._replace(
+            noise_table=jnp.asarray(table.table.astype(np.float32) / 65535.0),
+            noise_resolution_mask=jnp.asarray(table.resolution_mask),
+            noise_texture_index_mask=jnp.asarray(table.texture_index_mask))
+
+    # -- frame loop --------------------------------------------------------
+
+    def render_frame_async(self):
+        """Dispatch one frame; block on the (N-in-flight)-old frame like the
+        reference's per-image fences (main.c:2208-2225)."""
+        self.noise_seed, randoms = advance_noise_random_numbers(
+            self.noise_seed,
+            self.settings.animate_noise and self.settings.frame_bits == 0)
+        constants = make_frame_constants(
+            self.scene_spec.camera, self.width, self.height, self.settings,
+            randoms)
+        frame = render_frame_jit(self.scene, self.static, self.settings,
+                                 constants, self.width, self.height)
+        self._in_flight.append(frame)
+        if len(self._in_flight) > self.frames_in_flight:
+            import jax
+            oldest = self._in_flight.popleft()
+            jax.block_until_ready(oldest)
+            self.timer.record()
+            return oldest
+        return None
+
+    def render_frame_sync(self) -> np.ndarray:
+        """Render one frame and wait for it (screenshots, experiments)."""
+        import jax
+        frame = self.render_frame_async()
+        while self._in_flight:
+            frame = self._in_flight.popleft()
+        jax.block_until_ready(frame)
+        self.timer.record()
+        return np.asarray(frame)
+
+
+def _is_valid_noise(value: str) -> bool:
+    try:
+        NoiseType(value)
+        return True
+    except ValueError:
+        return False

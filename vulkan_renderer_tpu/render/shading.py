@@ -26,6 +26,8 @@ from ..core.settings import (ErrorDisplay, MisHeuristic,
                              PolygonSamplingTechnique, RenderSettings,
                              SamplingStrategy)
 from ..ops import sampling
+from ..ops import sampling_arvo_psa as arvo_psa
+from ..ops import sampling_related
 from ..ops.brdf import (ShadingData, evaluate_brdf,
                         ggx_reflected_direction_density,
                         sample_ggx_reflected_direction)
@@ -373,29 +375,99 @@ def evaluate_polygonal_light_shading(scene, static: SceneStatic,
 
         result = result + mean_over_samples(one_sample, take_pairs(n))
 
-    # ---- shading-space techniques (clipping, diffuse-only family) ----------
-    elif tech == PolygonSamplingTechnique.CLIPPED_SOLID_ANGLE:
-        verts_shading = _transform_to_local(ltc.world_to_shading_space,
-                                            verts_world)
-        clipped, clip_count = clip_polygon(verts_shading, vertex_count)
-        ok = clip_count > 0
-        poly = sampling.prepare_solid_angle_polygon_sampling(
-            clipped, jnp.maximum(clip_count, 3), jnp.zeros(3))
+    elif tech == PolygonSamplingTechnique.SOLID_ANGLE_ARVO:
+        poly = sampling_related.prepare_solid_angle_polygon_sampling_arvo(
+            verts_world, vertex_count, data.position)
         density = 1.0 / jnp.where(poly.solid_angle > 0.0, poly.solid_angle, 1.0)
-        rot_t = ltc.world_to_shading_space[:, :3]  # rows = axes
 
         def one_sample(rnd):
-            d_shading = sampling.sample_solid_angle_polygon(poly, rnd)
-            d = rot_t.T @ d_shading
+            d = sampling_related.sample_solid_angle_polygon_arvo(poly, rnd)
             est = light_mis_estimate(d, density)
-            return jnp.where(ok & (poly.solid_angle > 0.0), est, 0.0)
+            return jnp.where(poly.solid_angle > 0.0, est, 0.0)
+
+        result = result + mean_over_samples(one_sample, take_pairs(n))
+
+    elif tech == PolygonSamplingTechnique.RECTANGLE_SOLID_ANGLE_URENA:
+        # Valid for rectangular lights only (GUI legality in the reference;
+        # call signature per shading_pass.frag.glsl:355-362).
+        rot = lights.rotation[light_index]
+        sx = lights.scaling_x[light_index]
+        sy = lights.scaling_y[light_index]
+        squad = sampling_related.prepare_solid_angle_rectangle_sampling_urena(
+            lights.translation[light_index], sx * rot[:, 0], sy * rot[:, 1],
+            sx, sy, rot[:, 0], rot[:, 1], rot[:, 2], data.position)
+        density = 1.0 / jnp.where(squad.solid_angle > 0.0,
+                                  squad.solid_angle, 1.0)
+
+        def one_sample(rnd):
+            d = sampling_related.sample_solid_angle_rectangle_urena(squad, rnd)
+            est = light_mis_estimate(d, density)
+            return jnp.where(squad.solid_angle > 0.0, est, 0.0)
+
+        result = result + mean_over_samples(one_sample, take_pairs(n))
+
+    # ---- shading-space techniques (clipping, diffuse-only family) ----------
+    elif tech in (PolygonSamplingTechnique.CLIPPED_SOLID_ANGLE,
+                  PolygonSamplingTechnique.BILINEAR_COSINE_WARP_HART,
+                  PolygonSamplingTechnique.BILINEAR_COSINE_WARP_CLIPPING_HART,
+                  PolygonSamplingTechnique.BIQUADRATIC_COSINE_WARP_HART,
+                  PolygonSamplingTechnique.BIQUADRATIC_COSINE_WARP_CLIPPING_HART):
+        verts_shading = _transform_to_local(ltc.world_to_shading_space,
+                                            verts_world)
+        no_clip = tech in (
+            PolygonSamplingTechnique.BILINEAR_COSINE_WARP_HART,
+            PolygonSamplingTechnique.BIQUADRATIC_COSINE_WARP_HART)
+        if no_clip:
+            clipped, clip_count = verts_shading, vertex_count
+            ok = jnp.bool_(True)
+        else:
+            clipped, clip_count = clip_polygon(verts_shading, vertex_count)
+            ok = clip_count > 0
+        rot_t = ltc.world_to_shading_space[:, :3]  # rows = axes
+
+        if tech == PolygonSamplingTechnique.CLIPPED_SOLID_ANGLE:
+            poly = sampling.prepare_solid_angle_polygon_sampling(
+                clipped, jnp.maximum(clip_count, 3), jnp.zeros(3))
+            density = 1.0 / jnp.where(poly.solid_angle > 0.0,
+                                      poly.solid_angle, 1.0)
+
+            def one_sample(rnd):
+                d_shading = sampling.sample_solid_angle_polygon(poly, rnd)
+                d = rot_t.T @ d_shading
+                est = light_mis_estimate(d, density)
+                return jnp.where(ok & (poly.solid_angle > 0.0), est, 0.0)
+        else:
+            bilinear = tech in (
+                PolygonSamplingTechnique.BILINEAR_COSINE_WARP_HART,
+                PolygonSamplingTechnique.BILINEAR_COSINE_WARP_CLIPPING_HART)
+            if bilinear:
+                warp = sampling_related \
+                    .prepare_bilinear_cosine_warp_polygon_sampling_hart(
+                        clipped, jnp.maximum(clip_count, 3))
+                sample_fn = sampling_related \
+                    .sample_bilinear_cosine_warp_polygon_hart
+            else:
+                warp = sampling_related \
+                    .prepare_biquadratic_cosine_warp_polygon_sampling_hart(
+                        clipped, jnp.maximum(clip_count, 3))
+                sample_fn = sampling_related \
+                    .sample_biquadratic_cosine_warp_polygon_hart
+            poly = warp.polygon
+
+            def one_sample(rnd):
+                d_shading, density = sample_fn(warp, rnd)
+                d = rot_t.T @ d_shading
+                est = light_mis_estimate(d, density)
+                return jnp.where(ok & (poly.solid_angle > 0.0), est, 0.0)
 
         result = result + mean_over_samples(one_sample, take_pairs(n))
 
     # ---- projected solid angle (ours), diffuse-only family + combined ------
     elif tech in (PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE,
-                  PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_BIASED):
+                  PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_BIASED,
+                  PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_ARVO):
         biased = tech == PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_BIASED
+        use_arvo = tech == PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_ARVO
         # Flip the shading frame's y if the shading point is behind the light
         # plane to restore clockwise winding (glsl:444-452).
         plane = lights.plane[light_index]
@@ -408,6 +480,54 @@ def evaluate_polygonal_light_shading(scene, static: SceneStatic,
         verts_shading = _transform_to_local(w2s, verts_world)
         clipped, clip_count = clip_polygon(verts_shading, vertex_count)
         diffuse_ok = clip_count > 0
+        if use_arvo and strategy in (SamplingStrategy.DIFFUSE_ONLY,
+                                     SamplingStrategy.DIFFUSE_GGX_MIS):
+            poly_arvo = arvo_psa \
+                .prepare_projected_solid_angle_polygon_sampling_arvo(
+                    clipped, jnp.maximum(clip_count, 3))
+            psa_d = poly_arvo.projected_solid_angle
+            diffuse_ok = diffuse_ok & (psa_d > 0.0)
+            rot_t3 = rot_t
+
+            def one_sample_arvo(rnd):
+                d_shading = arvo_psa.sample_projected_solid_angle_polygon_arvo(
+                    poly_arvo, rnd, 3)
+                density = d_shading[2] / jnp.where(psa_d > 0.0, psa_d, 1.0)
+                d = rot_t3.T @ d_shading
+                est = light_mis_estimate(d, density)
+                # Arvo's method lands samples exactly on the horizon (the
+                # elevation of clipped edges is 0); there the analytic
+                # lambert/z cancellation breaks down in fp32 and fireflies
+                # explode, so tiny-z samples are dropped (the reference
+                # exhibits the same fireflies — this is the unstable
+                # baseline the paper compares against).
+                return jnp.where(diffuse_ok & (d_shading[2] > 1e-5), est, 0.0)
+
+            if settings.error_display in (ErrorDisplay.DIFFUSE_BACKWARD,
+                                          ErrorDisplay.DIFFUSE_BACKWARD_SCALED):
+                rnd = next_pair()
+                d = arvo_psa.sample_projected_solid_angle_polygon_arvo(
+                    poly_arvo, rnd, 3)
+                errors = arvo_psa \
+                    .compute_projected_solid_angle_polygon_sampling_error_arvo(
+                        poly_arvo, rnd, d)
+                error_index = {
+                    ErrorDisplay.DIFFUSE_BACKWARD: 0,
+                    ErrorDisplay.DIFFUSE_BACKWARD_SCALED: 1,
+                }[settings.error_display]
+                color = error_to_color(errors[error_index],
+                                       constants.error_factor)
+                return jnp.where(diffuse_ok,
+                                 color / constants.exposure_factor, 0.0)
+            result = result + mean_over_samples(one_sample_arvo, take_pairs(n))
+            if strategy == SamplingStrategy.DIFFUSE_GGX_MIS:
+                result = result + _ggx_mis_loop(
+                    settings, constants, data, ltc, rot_t, scene, light_index,
+                    texturing, occlusion_fn, verts_world, vertex_count,
+                    1.0 / jnp.where(psa_d > 0.0, psa_d, 1.0), True,
+                    take_pairs(n), rad_brdf)
+            return result * F32(1.0 / n)
+
         poly_diffuse = sampling.prepare_projected_solid_angle_polygon_sampling(
             clipped, jnp.maximum(clip_count, 3), biased=biased)
         psa_d = poly_diffuse.projected_solid_angle
