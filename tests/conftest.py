@@ -3,13 +3,21 @@ sharding tests run without TPU hardware (SURVEY.md §4 implication (d))."""
 
 import os
 
-# Force CPU: the driver environment pins JAX_PLATFORMS=axon (the real TPU),
-# so a plain setdefault would silently run the whole suite on hardware.
+# Force CPU with 8 virtual devices. The driver environment pins
+# JAX_PLATFORMS=axon (the real TPU) and its sitecustomize imports jax at
+# interpreter startup, so the env var is already frozen by the time this
+# conftest runs — jax.config.update is the only reliable override. The
+# XLA_FLAGS assignment still works because the CPU backend has not been
+# instantiated yet.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

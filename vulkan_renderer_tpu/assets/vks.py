@@ -41,7 +41,12 @@ class SceneMesh:
 
     def dequantized_positions(self) -> np.ndarray:
         """(3*T, 3) float32 world-space vertex positions (CPU-side,
-        mirrors scene.c:176-187)."""
+        mirrors scene.c:176-187). Native fast path when built."""
+        from ..core import native
+        if native.available():
+            return native.dequantize_positions(
+                self.quantized_positions, self.dequantization_factor,
+                self.dequantization_summand)
         q = self.quantized_positions.astype(np.uint64)
         combined = q[:, 0] | (q[:, 1] << 32)
         pos = np.stack([

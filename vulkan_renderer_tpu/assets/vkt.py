@@ -145,7 +145,11 @@ def _expand_565(c):
 
 
 def decode_bc1(raw: np.ndarray, width: int, height: int) -> np.ndarray:
-    """Decode BC1 blocks to (H, W, 3) float32 (UNORM color space)."""
+    """Decode BC1 blocks to (H, W, 3) float32 (UNORM color space).
+    Uses the native library when built (core/native.py), numpy otherwise."""
+    from ..core import native
+    if native.available():
+        return native.decode_bc1(raw, width, height)
     bw, bh = (width + 3) // 4, (height + 3) // 4
     blocks = raw.view("<u4").reshape(bh * bw, 2)
     colors = blocks[:, 0]
@@ -250,7 +254,10 @@ def _unpack_bc4_indices(raw6: np.ndarray) -> np.ndarray:
 
 
 def decode_bc5(raw: np.ndarray, width: int, height: int) -> np.ndarray:
-    """Decode BC5 blocks to (H, W, 2) float32."""
+    """Decode BC5 blocks to (H, W, 2) float32 (native when available)."""
+    from ..core import native
+    if native.available():
+        return native.decode_bc5(raw, width, height)
     bw, bh = (width + 3) // 4, (height + 3) // 4
     blocks = raw.reshape(bh * bw, 16)
     channels = []
