@@ -72,15 +72,15 @@ def main():
         camera, args.width, args.height, settings,
         (np.arange(4) * 0x123456).astype(np.uint32))
 
-    img = render_frame_jit(scene, static, settings, constants,
-                           args.width, args.height)
-    img.block_until_ready()
+    # NOTE: np.asarray (device->host transfer) is the sync point; plain
+    # block_until_ready does not reliably block through the axon relay.
+    img = np.asarray(render_frame_jit(scene, static, settings, constants,
+                                      args.width, args.height))
     times = []
     for _ in range(args.frames):
         t0 = time.perf_counter()
-        img = render_frame_jit(scene, static, settings, constants,
-                               args.width, args.height)
-        img.block_until_ready()
+        img = np.asarray(render_frame_jit(scene, static, settings, constants,
+                                          args.width, args.height))
         times.append((time.perf_counter() - t0) * 1000.0)
     ms = float(np.median(times))
     # Normalize to the 1080p north-star target (20 ms/frame, BASELINE.json):

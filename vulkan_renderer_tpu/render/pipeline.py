@@ -31,6 +31,7 @@ from ..ops.math_utils import normalize
 from .shading import get_polygon_radiance
 from .bvh import make_bvh_closest_hit, make_bvh_occlusion
 from .visibility import make_bruteforce_occlusion, trace_primary_bruteforce
+from .wavefront import trace_anyhit, trace_closest
 
 
 def make_frame_constants(camera: FirstPersonCamera, width: int, height: int,
@@ -49,16 +50,18 @@ def make_frame_constants(camera: FirstPersonCamera, width: int, height: int,
 
 
 def _shade_pixel(scene: Scene, static: SceneStatic, settings: RenderSettings,
-                 constants: FrameConstants, occlusion_fn,
+                 constants: FrameConstants,
                  pixel_xy, primitive_index, ray_direction, noise_pairs):
-    """Full shading for one pixel (shading_pass.frag.glsl main, :828-893)."""
+    """Per-pixel shading EXCEPT shadow visibility (deferred): returns
+    (base (3,), b (S,3), ray_dirs (S,3), t_max (S,), origin (3,)).
+    Final color = postprocess((base + sum b_i * V_i) * exposure)."""
     hit = primitive_index != INVALID_PRIMITIVE
     safe_prim = jnp.where(hit, primitive_index, 0).astype(jnp.int32)
 
     data = get_shading_data(scene, constants, constants.roughness_factor,
                             safe_prim, ray_direction)
 
-    final_color = jnp.zeros(3)
+    base = jnp.zeros(3)
     view_dir = normalize(ray_direction)
     if settings.show_polygonal_lights:
         # Display the light sources themselves (glsl:841-850).
@@ -74,28 +77,28 @@ def _shade_pixel(scene: Scene, static: SceneStatic, settings: RenderSettings,
             radiance = get_polygon_radiance(
                 scene, i, static.light_texturing[i], view_dir,
                 constants.camera_position)
-            final_color = final_color + jnp.where(light_hit, radiance, 0.0)
+            base = base + jnp.where(light_hit, radiance, 0.0)
 
-    # Shade with all lights.
+    # Shade with all lights (shadow rays collected, not traced).
     fresnel_luminance = jnp.sum(
         data.fresnel_0 * jnp.array([0.2126, 0.7152, 0.0722]))
     ltc = get_ltc_coefficients(scene.ltc, fresnel_luminance, data.roughness,
                                data.position, data.normal, data.outgoing)
     ppl = pairs_per_light(settings)
-    shading = jnp.zeros(3)
+    b_all, dir_all, tmax_all = [], [], []
     for i in range(static.light_count):
         light_pairs = noise_pairs[i * ppl:(i + 1) * ppl]
-        shading = shading + evaluate_polygonal_light_shading(
-            scene, static, settings, constants, occlusion_fn, i, data, ltc,
-            light_pairs)
-    final_color = final_color + jnp.where(hit, shading, 0.0)
-
-    # NaN/Inf -> pink (glsl:861-864).
-    bad = jnp.any(jnp.isnan(final_color)) | jnp.any(jnp.isinf(final_color))
-    final_color = jnp.where(
-        bad, jnp.array([1.0, 0.0, 0.8]) / constants.exposure_factor,
-        final_color)
-    return final_color * constants.exposure_factor
+        result = evaluate_polygonal_light_shading(
+            scene, static, settings, constants, i, data, ltc, light_pairs)
+        base = base + jnp.where(hit, result.base, 0.0)
+        b_all.append(jnp.where(hit, result.b, 0.0))
+        dir_all.append(result.ray_dirs)
+        tmax_all.append(result.t_max)
+    b = jnp.concatenate(b_all, axis=0)
+    dirs = jnp.concatenate(dir_all, axis=0)
+    tmax = jnp.concatenate(tmax_all, axis=0)
+    origin = jnp.where(hit, data.position, constants.camera_position)
+    return base, b, dirs, tmax, origin
 
 
 def _postprocess(color, settings: RenderSettings):
@@ -124,7 +127,12 @@ def _postprocess(color, settings: RenderSettings):
 def render_frame_jit(scene: Scene, static: SceneStatic,
                      settings: RenderSettings, constants: FrameConstants,
                      width: int, height: int):
-    """Render one frame: (H, W, 3) float32 in output color space."""
+    """Render one frame: (H, W, 3) float32 in output color space.
+
+    Structure: visibility (rays -> primitive ids), per-pixel shading with
+    deferred shadow-ray collection, ONE batched wavefront/BVH shadow trace
+    over the whole frame's ray megabatch (the north-star design), then
+    visibility-weighted resolve + postprocess."""
     xs = jnp.arange(width, dtype=jnp.float32)
     ys = jnp.arange(height, dtype=jnp.float32)
     px, py = jnp.meshgrid(xs, ys, indexing="xy")
@@ -134,17 +142,19 @@ def render_frame_jit(scene: Scene, static: SceneStatic,
     ray_dirs = (jnp.concatenate([pixels_f, jnp.ones_like(pixels_f[:, :1])],
                                 axis=-1) @ constants.pixel_to_ray.T)
 
-    if static.use_bvh:
+    traversal = static.resolved_traversal(
+        int(scene.triangle_positions.shape[0]))
+    if traversal == "wavefront":
+        primitive_index, _, _ = trace_closest(
+            scene.clusters, constants.camera_position, ray_dirs,
+            pairs_per_ray=24)
+    elif traversal == "bvh":
         closest = make_bvh_closest_hit(scene.bvh)
         primitive_index, _ = jax.vmap(
             lambda d: closest(constants.camera_position, d))(ray_dirs)
-        occlusion_fn = make_bvh_occlusion(scene.bvh) \
-            if settings.trace_shadow_rays else None
     else:
         primitive_index, _ = trace_primary_bruteforce(
             scene.triangle_positions, constants.camera_position, ray_dirs)
-        occlusion_fn = make_bruteforce_occlusion(scene.triangle_positions) \
-            if settings.trace_shadow_rays else None
 
     ppl = pairs_per_light(settings)
     total_pairs = max(ppl * static.light_count, 1)
@@ -154,8 +164,40 @@ def render_frame_jit(scene: Scene, static: SceneStatic,
         constants.noise_random_numbers)
 
     shade = functools.partial(_shade_pixel, scene, static, settings,
-                              constants, occlusion_fn)
-    colors = jax.vmap(shade)(pixels_i, primitive_index, ray_dirs, noise_pairs)
+                              constants)
+    base, b, dirs, tmax, origins = jax.vmap(shade)(
+        pixels_i, primitive_index, ray_dirs, noise_pairs)
+
+    if settings.trace_shadow_rays:
+        s = b.shape[1]
+        flat_origins = jnp.repeat(origins, s, axis=0)
+        flat_dirs = dirs.reshape(-1, 3)
+        flat_tmax = tmax.reshape(-1)
+        # Rays with zero weight cannot contribute; collapse their range so
+        # the cull rejects them immediately.
+        live = jnp.any(b.reshape(-1, 3) != 0.0, axis=-1)
+        flat_tmax = jnp.where(live, flat_tmax, -1.0)
+        if traversal == "wavefront":
+            occluded, _ = trace_anyhit(scene.clusters, flat_origins,
+                                       flat_dirs, flat_tmax,
+                                       pairs_per_ray=12)
+        elif traversal == "bvh":
+            occl = make_bvh_occlusion(scene.bvh)
+            occluded = jax.vmap(occl)(flat_origins, flat_dirs, flat_tmax)
+        else:
+            occl = make_bruteforce_occlusion(scene.triangle_positions)
+            occluded = jax.vmap(occl)(flat_origins, flat_dirs, flat_tmax)
+        visibility = jnp.where(occluded, 0.0, 1.0).reshape(b.shape[0], s)
+    else:
+        visibility = jnp.ones(b.shape[:2])
+
+    colors = base + jnp.sum(b * visibility[:, :, None], axis=1)
+    # NaN/Inf -> pink (glsl:861-864), then exposure.
+    bad = jnp.any(jnp.isnan(colors) | jnp.isinf(colors), axis=-1,
+                  keepdims=True)
+    colors = jnp.where(bad, jnp.asarray([1.0, 0.0, 0.8]) /
+                       constants.exposure_factor, colors)
+    colors = colors * constants.exposure_factor
     colors = _postprocess(colors, settings)
     return colors.reshape(height, width, 3)
 

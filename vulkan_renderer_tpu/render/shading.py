@@ -54,9 +54,18 @@ class SceneStatic:
     light_count: int
     light_texturing: tuple  # per light: PolygonTexturing int
     max_light_vertex_count: int = MAXV - 1
-    # Traversal backend: brute force for small scenes, threaded BVH for
-    # large ones (selected at scene build; static -> jit specialization).
+    # Traversal backend: "auto" resolves to wavefront for large scenes and
+    # brute force for small ones; "bvh" selects the threaded-BVH path
+    # (static -> jit specialization). use_bvh is a legacy alias.
     use_bvh: bool = False
+    traversal: str = "auto"
+
+    def resolved_traversal(self, triangle_count: int) -> str:
+        if self.traversal != "auto":
+            return self.traversal
+        if self.use_bvh or triangle_count > 4096:
+            return "wavefront"
+        return "bruteforce"
 
 
 class FrameConstants(NamedTuple):
@@ -214,24 +223,28 @@ def get_polygon_radiance(scene, light_index: int, texturing: int,
     return radiance * texel[:3]
 
 
-def radiance_visibility_brdf_product(scene, light_index: int, texturing: int,
-                                     occlusion_fn, trace_shadows: bool,
-                                     sampled_dir, data: ShadingData,
-                                     diffuse=True, specular=True):
-    """(brdf * radiance * visibility, lambert, visibility) (glsl:195-239)."""
+def radiance_brdf_deferred(scene, light_index: int, texturing: int,
+                           sampled_dir, data: ShadingData,
+                           diffuse=True, specular=True):
+    """Deferred version of get_polygon_radiance_visibility_brdf_product
+    (glsl:195-239): returns the value ASSUMING the shadow ray is
+    unoccluded (the geometric lambert > 0 gate still applies), plus the
+    shadow-ray t range. Visibility is applied later: every estimator in
+    the shading pass is affine in V, so shadow rays batch into one
+    wavefront trace instead of a per-sample pointer chase.
+
+    Returns (value_if_visible (3,), lambert, t_max)."""
     lambert = jnp.sum(data.normal * sampled_dir)
-    visibility = lambert > 0.0
-    if trace_shadows:
-        plane = scene.lights.plane[light_index]
-        max_t = -(jnp.sum(plane[:3] * data.position) + plane[3]) \
-            / jnp.sum(sampled_dir * plane[:3])
-        occluded = occlusion_fn(data.position, sampled_dir, max_t)
-        visibility = visibility & (~occluded)
+    geo_visible = lambert > 0.0
+    plane = scene.lights.plane[light_index]
+    denom = jnp.sum(sampled_dir * plane[:3])
+    t_max = -(jnp.sum(plane[:3] * data.position) + plane[3]) \
+        / jnp.where(denom != 0.0, denom, 1.0)
     radiance = get_polygon_radiance(scene, light_index, texturing,
                                     sampled_dir, data.position)
     brdf = evaluate_brdf(data, sampled_dir, diffuse, specular)
-    value = jnp.where(visibility, radiance * brdf, 0.0)
-    return value, lambert, visibility
+    value = jnp.where(geo_visible, radiance * brdf, 0.0)
+    return value, lambert, jnp.where(geo_visible, t_max, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -269,36 +282,55 @@ def _mis_estimate_with_settings(settings, visibility, integrand,
                         other_density, vis_estimate)
 
 
+class LightShadingResult(NamedTuple):
+    """Deferred shading output for one light at one pixel: the total
+    contribution is base + sum_i b[i] * V_i where V_i is the visibility of
+    shadow ray i (all estimators are affine in V)."""
+    base: jnp.ndarray      # (3,)
+    b: jnp.ndarray         # (S, 3)
+    ray_dirs: jnp.ndarray  # (S, 3)
+    t_max: jnp.ndarray     # (S,)
+
+
+def _no_ray(a_color, ray_count: int):
+    return (a_color, jnp.zeros((ray_count, 3)),
+            jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (ray_count, 3)),
+            jnp.zeros((ray_count,)))
+
+
 def evaluate_polygonal_light_shading(scene, static: SceneStatic,
                                      settings: RenderSettings,
                                      constants: FrameConstants,
-                                     occlusion_fn, light_index: int,
+                                     light_index: int,
                                      data: ShadingData,
                                      ltc: LtcCoefficients,
-                                     noise_pairs):
+                                     noise_pairs) -> LightShadingResult:
     """Monte Carlo shading for one light at one pixel; unbatched.
-    noise_pairs: (pairs_per_light(settings), 2)."""
+    noise_pairs: (pairs_per_light(settings), 2). Shadow rays are emitted
+    for deferred batched tracing (see LightShadingResult)."""
     tech = settings.polygon_sampling_technique
     strategy = settings.sampling_strategy
     lights = scene.lights
     texturing = static.light_texturing[light_index]
-    trace = settings.trace_shadow_rays
     n = settings.sample_count
+    rays_each = pairs_per_light(settings) // max(n, 1) \
+        if settings.error_display == ErrorDisplay.NONE else 1
+    total_rays = rays_per_light(settings)
     verts_world = _light_vertices_padded(lights, light_index)
     vertex_count = lights.vertex_count[light_index].astype(jnp.int32)
 
     def rad_brdf(sampled_dir, diffuse=True, specular=True):
-        return radiance_visibility_brdf_product(
-            scene, light_index, texturing, occlusion_fn, trace, sampled_dir,
-            data, diffuse, specular)
+        return radiance_brdf_deferred(scene, light_index, texturing,
+                                      sampled_dir, data, diffuse, specular)
 
-    def light_mis_estimate(sampled_dir, density):
-        """get_polygonal_light_mis_estimate (glsl:300-323)."""
-        value, lambert, _ = rad_brdf(sampled_dir)
+    def light_splat(sampled_dir, density):
+        """get_polygonal_light_mis_estimate (glsl:300-323), deferred:
+        returns (a, b, dir, t_max) for a single shadow ray."""
+        value1, lambert, t_max = rad_brdf(sampled_dir)
         if strategy == SamplingStrategy.DIFFUSE_ONLY:
-            return jnp.where(density > 0.0,
-                             value * (lambert / jnp.where(density > 0.0,
-                                                          density, 1.0)), 0.0)
+            b = jnp.where(density > 0.0,
+                          value1 * (lambert / jnp.where(density > 0.0,
+                                                        density, 1.0)), 0.0)
         elif strategy == SamplingStrategy.DIFFUSE_GGX_MIS:
             ggx_density = ggx_reflected_direction_density(
                 data.lambert_outgoing, data.outgoing, sampled_dir,
@@ -308,11 +340,11 @@ def evaluate_polygonal_light_shading(scene, static: SceneStatic,
             from ..ops.mis import MisHeuristic as OpsMis
             wod = mis_weight_over_density(OpsMis(heuristic), density,
                                           ggx_density)
-            return value * lambert * wod
+            b = value1 * lambert * wod
         else:
-            return jnp.zeros(3)
+            b = jnp.zeros(3)
+        return jnp.zeros(3), b[None], sampled_dir[None], t_max[None]
 
-    result = jnp.zeros(3)
     pair_cursor = 0
 
     def next_pair():
@@ -321,19 +353,44 @@ def evaluate_polygonal_light_shading(scene, static: SceneStatic,
         pair_cursor += 1
         return p
 
-    def mean_over_samples(per_sample, pairs):
-        """vmap a per-sample estimator over its noise pairs and sum.
-        The reference unrolls these loops for GPU ray-query reasons
-        (unrolling.glsl); on TPU independent samples vectorize instead."""
-        if n == 1:
-            return per_sample(pairs[0])
-        return jnp.sum(jax.vmap(per_sample)(pairs), axis=0)
-
     def take_pairs(count):
         nonlocal pair_cursor
         p = noise_pairs[pair_cursor:pair_cursor + count]
         pair_cursor += count
         return p
+
+    def over_samples(per_sample, pairs):
+        """vmap a per-sample deferred estimator over its noise pairs.
+        The reference unrolls these loops for GPU ray-query reasons
+        (unrolling.glsl); on TPU independent samples vectorize instead.
+        Returns (a_sum (3,), b (n*R, 3), dirs (n*R, 3), t_max (n*R,))."""
+        if n == 1:
+            return per_sample(pairs[0])
+        a, b, dirs, t_max = jax.vmap(per_sample)(pairs)
+        return (jnp.sum(a, axis=0), b.reshape(-1, 3), dirs.reshape(-1, 3),
+                t_max.reshape(-1))
+
+    def finish(parts):
+        """Combine (a, b, dirs, tmax) pieces, scale by 1/n, pad to
+        total_rays."""
+        a = jnp.zeros(3)
+        bs, ds, ts = [], [], []
+        for (pa, pb, pd, pt) in parts:
+            a = a + pa
+            bs.append(pb)
+            ds.append(pd)
+            ts.append(pt)
+        b = jnp.concatenate(bs, axis=0) if bs else jnp.zeros((0, 3))
+        d = jnp.concatenate(ds, axis=0) if ds else jnp.zeros((0, 3))
+        t = jnp.concatenate(ts, axis=0) if ts else jnp.zeros((0,))
+        pad = total_rays - b.shape[0]
+        if pad > 0:
+            b = jnp.concatenate([b, jnp.zeros((pad, 3))])
+            d = jnp.concatenate(
+                [d, jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (pad, 3))])
+            t = jnp.concatenate([t, jnp.zeros((pad,))])
+        scale = F32(1.0 / n)
+        return LightShadingResult(a * scale, b * scale, d, t)
 
     # ---- world-space techniques (no clipping) ------------------------------
     if tech == PolygonSamplingTechnique.BASELINE:
@@ -343,9 +400,9 @@ def evaluate_polygonal_light_shading(scene, static: SceneStatic,
         def one_sample(rnd):
             d = normalize(corner_offset + rnd[0] * rot[:, 0]
                           + rnd[1] * rot[:, 1])
-            return light_mis_estimate(d, F32(1.0))
+            return light_splat(d, F32(1.0))
 
-        result = result + mean_over_samples(one_sample, take_pairs(n))
+        parts = [over_samples(one_sample, take_pairs(n))]
 
     elif tech == PolygonSamplingTechnique.AREA_TURK:
         fan_areas = lights.fan_areas[light_index]  # (MAXL-2, 2)
@@ -359,9 +416,9 @@ def evaluate_polygonal_light_shading(scene, static: SceneStatic,
             projected = jnp.abs(jnp.sum(lights.plane[light_index][:3] * d)) \
                 * lights.area[light_index]
             density = dist_sq / projected
-            return light_mis_estimate(d, density)
+            return light_splat(d, density)
 
-        result = result + mean_over_samples(one_sample, take_pairs(n))
+        parts = [over_samples(one_sample, take_pairs(n))]
 
     elif tech == PolygonSamplingTechnique.SOLID_ANGLE:
         poly = sampling.prepare_solid_angle_polygon_sampling(
@@ -370,10 +427,10 @@ def evaluate_polygonal_light_shading(scene, static: SceneStatic,
 
         def one_sample(rnd):
             d = sampling.sample_solid_angle_polygon(poly, rnd)
-            est = light_mis_estimate(d, density)
-            return jnp.where(poly.solid_angle > 0.0, est, 0.0)
+            a, b, dirs, t_max = light_splat(d, density)
+            return a, jnp.where(poly.solid_angle > 0.0, b, 0.0), dirs, t_max
 
-        result = result + mean_over_samples(one_sample, take_pairs(n))
+        parts = [over_samples(one_sample, take_pairs(n))]
 
     elif tech == PolygonSamplingTechnique.SOLID_ANGLE_ARVO:
         poly = sampling_related.prepare_solid_angle_polygon_sampling_arvo(
@@ -382,10 +439,10 @@ def evaluate_polygonal_light_shading(scene, static: SceneStatic,
 
         def one_sample(rnd):
             d = sampling_related.sample_solid_angle_polygon_arvo(poly, rnd)
-            est = light_mis_estimate(d, density)
-            return jnp.where(poly.solid_angle > 0.0, est, 0.0)
+            a, b, dirs, t_max = light_splat(d, density)
+            return a, jnp.where(poly.solid_angle > 0.0, b, 0.0), dirs, t_max
 
-        result = result + mean_over_samples(one_sample, take_pairs(n))
+        parts = [over_samples(one_sample, take_pairs(n))]
 
     elif tech == PolygonSamplingTechnique.RECTANGLE_SOLID_ANGLE_URENA:
         # Valid for rectangular lights only (GUI legality in the reference;
@@ -401,10 +458,10 @@ def evaluate_polygonal_light_shading(scene, static: SceneStatic,
 
         def one_sample(rnd):
             d = sampling_related.sample_solid_angle_rectangle_urena(squad, rnd)
-            est = light_mis_estimate(d, density)
-            return jnp.where(squad.solid_angle > 0.0, est, 0.0)
+            a, b, dirs, t_max = light_splat(d, density)
+            return a, jnp.where(squad.solid_angle > 0.0, b, 0.0), dirs, t_max
 
-        result = result + mean_over_samples(one_sample, take_pairs(n))
+        parts = [over_samples(one_sample, take_pairs(n))]
 
     # ---- shading-space techniques (clipping, diffuse-only family) ----------
     elif tech in (PolygonSamplingTechnique.CLIPPED_SOLID_ANGLE,
@@ -434,8 +491,9 @@ def evaluate_polygonal_light_shading(scene, static: SceneStatic,
             def one_sample(rnd):
                 d_shading = sampling.sample_solid_angle_polygon(poly, rnd)
                 d = rot_t.T @ d_shading
-                est = light_mis_estimate(d, density)
-                return jnp.where(ok & (poly.solid_angle > 0.0), est, 0.0)
+                a, b, dirs, t_max = light_splat(d, density)
+                good = ok & (poly.solid_angle > 0.0)
+                return a, jnp.where(good, b, 0.0), dirs, t_max
         else:
             bilinear = tech in (
                 PolygonSamplingTechnique.BILINEAR_COSINE_WARP_HART,
@@ -457,10 +515,11 @@ def evaluate_polygonal_light_shading(scene, static: SceneStatic,
             def one_sample(rnd):
                 d_shading, density = sample_fn(warp, rnd)
                 d = rot_t.T @ d_shading
-                est = light_mis_estimate(d, density)
-                return jnp.where(ok & (poly.solid_angle > 0.0), est, 0.0)
+                a, b, dirs, t_max = light_splat(d, density)
+                good = ok & (poly.solid_angle > 0.0)
+                return a, jnp.where(good, b, 0.0), dirs, t_max
 
-        result = result + mean_over_samples(one_sample, take_pairs(n))
+        parts = [over_samples(one_sample, take_pairs(n))]
 
     # ---- projected solid angle (ours), diffuse-only family + combined ------
     elif tech in (PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE,
@@ -487,21 +546,6 @@ def evaluate_polygonal_light_shading(scene, static: SceneStatic,
                     clipped, jnp.maximum(clip_count, 3))
             psa_d = poly_arvo.projected_solid_angle
             diffuse_ok = diffuse_ok & (psa_d > 0.0)
-            rot_t3 = rot_t
-
-            def one_sample_arvo(rnd):
-                d_shading = arvo_psa.sample_projected_solid_angle_polygon_arvo(
-                    poly_arvo, rnd, 3)
-                density = d_shading[2] / jnp.where(psa_d > 0.0, psa_d, 1.0)
-                d = rot_t3.T @ d_shading
-                est = light_mis_estimate(d, density)
-                # Arvo's method lands samples exactly on the horizon (the
-                # elevation of clipped edges is 0); there the analytic
-                # lambert/z cancellation breaks down in fp32 and fireflies
-                # explode, so tiny-z samples are dropped (the reference
-                # exhibits the same fireflies — this is the unstable
-                # baseline the paper compares against).
-                return jnp.where(diffuse_ok & (d_shading[2] > 1e-5), est, 0.0)
 
             if settings.error_display in (ErrorDisplay.DIFFUSE_BACKWARD,
                                           ErrorDisplay.DIFFUSE_BACKWARD_SCALED):
@@ -517,16 +561,33 @@ def evaluate_polygonal_light_shading(scene, static: SceneStatic,
                 }[settings.error_display]
                 color = error_to_color(errors[error_index],
                                        constants.error_factor)
-                return jnp.where(diffuse_ok,
-                                 color / constants.exposure_factor, 0.0)
-            result = result + mean_over_samples(one_sample_arvo, take_pairs(n))
+                return LightShadingResult(*_no_ray(
+                    jnp.where(diffuse_ok, color / constants.exposure_factor,
+                              0.0), total_rays))
+
+            def one_sample_arvo(rnd):
+                d_shading = arvo_psa.sample_projected_solid_angle_polygon_arvo(
+                    poly_arvo, rnd, 3)
+                density = d_shading[2] / jnp.where(psa_d > 0.0, psa_d, 1.0)
+                d = rot_t.T @ d_shading
+                a, b, dirs, t_max = light_splat(d, density)
+                # Arvo's method lands samples exactly on the horizon (the
+                # elevation of clipped edges is 0); there the analytic
+                # lambert/z cancellation breaks down in fp32 and fireflies
+                # explode, so tiny-z samples are dropped (the reference
+                # exhibits the same fireflies — this is the unstable
+                # baseline the paper compares against).
+                good = diffuse_ok & (d_shading[2] > 1e-5)
+                return a, jnp.where(good, b, 0.0), dirs, t_max
+
+            parts = [over_samples(one_sample_arvo, take_pairs(n))]
             if strategy == SamplingStrategy.DIFFUSE_GGX_MIS:
-                result = result + _ggx_mis_loop(
+                parts.append(_ggx_mis_loop(
                     settings, constants, data, ltc, rot_t, scene, light_index,
-                    texturing, occlusion_fn, verts_world, vertex_count,
+                    texturing, verts_world, vertex_count,
                     1.0 / jnp.where(psa_d > 0.0, psa_d, 1.0), True,
-                    take_pairs(n), rad_brdf)
-            return result * F32(1.0 / n)
+                    take_pairs(n), rad_brdf))
+            return finish(parts)
 
         poly_diffuse = sampling.prepare_projected_solid_angle_polygon_sampling(
             clipped, jnp.maximum(clip_count, 3), biased=biased)
@@ -550,17 +611,19 @@ def evaluate_polygonal_light_shading(scene, static: SceneStatic,
                 }[settings.error_display]
                 color = error_to_color(errors[error_index],
                                        constants.error_factor)
-                return jnp.where(diffuse_ok,
-                                 color / constants.exposure_factor, 0.0)
+                return LightShadingResult(*_no_ray(
+                    jnp.where(diffuse_ok, color / constants.exposure_factor,
+                              0.0), total_rays))
+
             def one_sample(rnd):
                 d_shading = sampling.sample_projected_solid_angle_polygon(
                     poly_diffuse, rnd, biased=biased)
                 density = d_shading[2] / jnp.where(psa_d > 0.0, psa_d, 1.0)
                 d = rot_t.T @ d_shading
-                est = light_mis_estimate(d, density)
-                return jnp.where(diffuse_ok, est, 0.0)
+                a, b, dirs, t_max = light_splat(d, density)
+                return a, jnp.where(diffuse_ok, b, 0.0), dirs, t_max
 
-            result = result + mean_over_samples(one_sample, take_pairs(n))
+            parts = [over_samples(one_sample, take_pairs(n))]
         else:
             # Combined diffuse+specular strategies (glsl:506-670).
             verts_cosine = _transform_to_local(w2c, verts_world)
@@ -595,32 +658,40 @@ def evaluate_polygonal_light_shading(scene, static: SceneStatic,
                 }[settings.error_display]
                 color = error_to_color(errors[error_index],
                                        constants.error_factor)
-                return jnp.where(ok, color / constants.exposure_factor, 0.0)
+                return LightShadingResult(*_no_ray(
+                    jnp.where(ok, color / constants.exposure_factor, 0.0),
+                    total_rays))
 
             if strategy == SamplingStrategy.DIFFUSE_SPECULAR_SEPARATELY:
                 def one_sample(pair2):
                     d_shading = sampling.sample_projected_solid_angle_polygon(
                         poly_diffuse, pair2[0], biased=biased)
                     d = rot_t.T @ d_shading
-                    value, lambert, _ = rad_brdf(d, True, False)
-                    out = jnp.where(diffuse_ok, value * psa_d, 0.0)
+                    value1, lambert, t_max_d = rad_brdf(d, True, False)
+                    b_d = jnp.where(diffuse_ok, value1 * psa_d, 0.0)
                     d_cosine = sampling.sample_projected_solid_angle_polygon(
                         poly_specular, pair2[1], biased=biased)
                     d_shading_s = normalize(
                         ltc.cosine_to_shading_space @ d_cosine)
                     ltc_density = evaluate_ltc_density(ltc, d_shading_s, F32(1.0))
-                    value_s, _, _ = rad_brdf(rot_t.T @ d_shading_s, False, True)
+                    d_s = rot_t.T @ d_shading_s
+                    value_s, _, t_max_s = rad_brdf(d_s, False, True)
                     spec = value_s * d_shading_s[2] * psa_s \
                         / jnp.where(ltc_density > 0.0, ltc_density, 1.0)
                     good = specular_ok & (d_shading_s[2] > 0.0) \
                         & (d_cosine[2] > 0.0) & (ltc_density > 0.0)
-                    return out + jnp.where(diffuse_ok & good, spec, 0.0)
+                    b_s = jnp.where(diffuse_ok & good, spec, 0.0)
+                    return (jnp.zeros(3), jnp.stack([b_d, b_s]),
+                            jnp.stack([d, d_s]),
+                            jnp.stack([t_max_d, t_max_s]))
 
                 pairs2 = take_pairs(2 * n).reshape(n, 2, 2)
                 if n == 1:
-                    result = result + one_sample(pairs2[0])
+                    parts = [one_sample(pairs2[0])]
                 else:
-                    result = result + jnp.sum(jax.vmap(one_sample)(pairs2), axis=0)
+                    a, b, dirs, t_max = jax.vmap(one_sample)(pairs2)
+                    parts = [(jnp.sum(a, 0), b.reshape(-1, 3),
+                              dirs.reshape(-1, 3), t_max.reshape(-1))]
 
             elif strategy == SamplingStrategy.DIFFUSE_SPECULAR_MIS:
                 diffuse_albedo = jnp.maximum(data.diffuse_albedo, 0.01)
@@ -633,6 +704,7 @@ def evaluate_polygonal_light_shading(scene, static: SceneStatic,
                         * F32(M_INV_PI)
                     diffuse_weight = diffuse_weight * radiance_over_pi
                     specular_weight_rgb = specular_weight_rgb * radiance_over_pi
+
                 def one_sample(pair2):
                     d_diffuse = sampling.sample_projected_solid_angle_polygon(
                         poly_diffuse, pair2[0], biased=biased)
@@ -640,42 +712,56 @@ def evaluate_polygonal_light_shading(scene, static: SceneStatic,
                         poly_specular, pair2[1], biased=biased)
                     d_specular = normalize(
                         ltc.cosine_to_shading_space @ d_spec_c)
-                    out = jnp.zeros(3)
+                    a_out = jnp.zeros(3)
+                    b_out, dir_out, t_out = [], [], []
                     for j, d_shading in enumerate((d_diffuse, d_specular)):
                         in_upper = d_shading[2] > 0.0
                         diffuse_density = d_shading[2] * rcp_psa_d
                         specular_density = evaluate_ltc_density(
                             ltc, d_shading, rcp_psa_s)
-                        value, _, visibility = rad_brdf(rot_t.T @ d_shading)
-                        integrand = d_shading[2] * value
+                        d_world = rot_t.T @ d_shading
+                        value1, _, t_max = rad_brdf(d_world)
+                        integrand1 = d_shading[2] * value1
                         if j == 0:
-                            no_mis = integrand / jnp.where(
-                                diffuse_density > 0.0, diffuse_density, 1.0)
-                            with_mis = _mis_estimate_with_settings(
-                                settings, visibility, integrand,
-                                diffuse_weight, diffuse_density,
-                                specular_weight_rgb, specular_density,
-                                constants.mis_visibility_estimate)
-                            est = jnp.where(specular_ok, with_mis, no_mis)
-                            est = jnp.where(in_upper & diffuse_ok, est, 0.0)
+                            weights = (diffuse_weight, diffuse_density,
+                                       specular_weight_rgb, specular_density)
                         else:
-                            with_mis = _mis_estimate_with_settings(
-                                settings, visibility, integrand,
-                                specular_weight_rgb, specular_density,
-                                diffuse_weight, diffuse_density,
-                                constants.mis_visibility_estimate)
-                            est = jnp.where(
-                                in_upper & diffuse_ok & specular_ok,
-                                with_mis, 0.0)
-                        out = out + est
-                    return out
+                            weights = (specular_weight_rgb, specular_density,
+                                       diffuse_weight, diffuse_density)
+                        # The estimator is affine in the integrand (and the
+                        # integrand is linear in V): split into the
+                        # V-independent part est(0) and the ray weight.
+                        est0 = _mis_estimate_with_settings(
+                            settings, True, jnp.zeros(3), *weights,
+                            constants.mis_visibility_estimate)
+                        est1 = _mis_estimate_with_settings(
+                            settings, True, integrand1, *weights,
+                            constants.mis_visibility_estimate)
+                        if j == 0:
+                            no_mis1 = integrand1 / jnp.where(
+                                diffuse_density > 0.0, diffuse_density, 1.0)
+                            a_term = jnp.where(specular_ok, est0, 0.0)
+                            b_term = jnp.where(specular_ok, est1 - est0,
+                                               no_mis1)
+                            gate = in_upper & diffuse_ok
+                        else:
+                            a_term = est0
+                            b_term = est1 - est0
+                            gate = in_upper & diffuse_ok & specular_ok
+                        a_out = a_out + jnp.where(gate, a_term, 0.0)
+                        b_out.append(jnp.where(gate, b_term, 0.0))
+                        dir_out.append(d_world)
+                        t_out.append(t_max)
+                    return (a_out, jnp.stack(b_out), jnp.stack(dir_out),
+                            jnp.stack(t_out))
 
                 pairs2 = take_pairs(2 * n).reshape(n, 2, 2)
                 if n == 1:
-                    result = result + one_sample(pairs2[0])
+                    parts = [one_sample(pairs2[0])]
                 else:
-                    result = result + jnp.sum(jax.vmap(one_sample)(pairs2),
-                                              axis=0)
+                    a, b, dirs, t_max = jax.vmap(one_sample)(pairs2)
+                    parts = [(jnp.sum(a, 0), b.reshape(-1, 3),
+                              dirs.reshape(-1, 3), t_max.reshape(-1))]
 
             elif strategy == SamplingStrategy.DIFFUSE_SPECULAR_RANDOM:
                 lum = jnp.array([0.21263901, 0.71516868, 0.07219232])
@@ -683,6 +769,7 @@ def evaluate_polygonal_light_shading(scene, static: SceneStatic,
                     jnp.sum(data.diffuse_albedo * lum), 0.01)
                 diffuse_weight = diffuse_albedo * psa_d
                 ratio = diffuse_weight / (diffuse_weight + specular_weight)
+
                 def one_sample(rnd):
                     spec_selected = rnd[0] >= ratio
                     offset = jnp.where(spec_selected, 1.0, 0.0)
@@ -700,20 +787,23 @@ def evaluate_polygonal_light_shading(scene, static: SceneStatic,
                                                             specular_albedo)
                     density = (diffuse_density + specular_density) \
                         / (diffuse_weight + specular_weight)
-                    value, _, _ = rad_brdf(rot_t.T @ d_shading)
-                    est = value * lam / jnp.where(density > 0.0, density, 1.0)
-                    return jnp.where((lam > 0.0) & diffuse_ok
-                                     & (density > 0.0), est, 0.0)
+                    d_world = rot_t.T @ d_shading
+                    value1, _, t_max = rad_brdf(d_world)
+                    est = value1 * lam / jnp.where(density > 0.0, density, 1.0)
+                    gate = (lam > 0.0) & diffuse_ok & (density > 0.0)
+                    return (jnp.zeros(3), jnp.where(gate, est, 0.0)[None],
+                            d_world[None], t_max[None])
 
-                result = result + mean_over_samples(one_sample, take_pairs(n))
-        # GGX MIS extra loop shares poly_diffuse below.
+                parts = [over_samples(one_sample, take_pairs(n))]
+
+        # GGX MIS extra loop shares poly_diffuse.
         if strategy == SamplingStrategy.DIFFUSE_GGX_MIS:
-            result = result + _ggx_mis_loop(
+            parts.append(_ggx_mis_loop(
                 settings, constants, data, ltc, rot_t, scene, light_index,
-                texturing, occlusion_fn, verts_world, vertex_count,
+                texturing, verts_world, vertex_count,
                 1.0 / jnp.where(psa_d > 0.0, psa_d, 1.0), True,
-                take_pairs(n), rad_brdf)
-        return result * F32(1.0 / n)
+                take_pairs(n), rad_brdf))
+        return finish(parts)
 
     else:
         raise NotImplementedError(
@@ -721,28 +811,28 @@ def evaluate_polygonal_light_shading(scene, static: SceneStatic,
 
     # GGX MIS companion loop for the world/shading-space techniques.
     if strategy == SamplingStrategy.DIFFUSE_GGX_MIS:
-        if tech in (PolygonSamplingTechnique.SOLID_ANGLE,):
-            density_factor = 1.0 / jnp.where(poly.solid_angle > 0.0,
-                                             poly.solid_angle, 1.0)
-        elif tech == PolygonSamplingTechnique.CLIPPED_SOLID_ANGLE:
+        if tech in (PolygonSamplingTechnique.SOLID_ANGLE,
+                    PolygonSamplingTechnique.SOLID_ANGLE_ARVO,
+                    PolygonSamplingTechnique.CLIPPED_SOLID_ANGLE):
             density_factor = 1.0 / jnp.where(poly.solid_angle > 0.0,
                                              poly.solid_angle, 1.0)
         else:
             density_factor = F32(1.0)
         rot_t = ltc.world_to_shading_space[:, :3]
-        result = result + _ggx_mis_loop(
+        parts.append(_ggx_mis_loop(
             settings, constants, data, ltc, rot_t, scene, light_index,
-            texturing, occlusion_fn, verts_world, vertex_count,
-            density_factor, False, take_pairs(n), rad_brdf)
+            texturing, verts_world, vertex_count,
+            density_factor, False, take_pairs(n), rad_brdf))
 
-    return result * F32(1.0 / n)
+    return finish(parts)
 
 
 def _ggx_mis_loop(settings, constants, data, ltc, rot_t, scene, light_index,
-                  texturing, occlusion_fn, verts_world, vertex_count,
+                  texturing, verts_world, vertex_count,
                   density_factor, density_times_lambert: bool, pairs,
                   rad_brdf):
-    """BRDF-sampling half of the diffuse/GGX MIS strategy (glsl:676-709)."""
+    """BRDF-sampling half of the diffuse/GGX MIS strategy (glsl:676-709);
+    deferred: returns (a, b (n,3), dirs (n,3), t_max (n,))."""
     outgoing_shading = rot_t @ data.outgoing
     outgoing_shading = outgoing_shading.at[1].set(0.0)
     plane = scene.lights.plane[light_index]
@@ -758,16 +848,25 @@ def _ggx_mis_loop(settings, constants, data, ltc, rot_t, scene, light_index,
             plane, scene.lights.vertices_world_space[light_index],
             vertex_count, data.position,
             jnp.concatenate([d_world, jnp.zeros(1)]))
-        value, lambert, _ = rad_brdf(d_world)
+        value1, lambert, t_max = rad_brdf(d_world)
         polygon_density = (lambert * density_factor
                            if density_times_lambert else density_factor)
         wod = mis_weight_over_density(heuristic, ggx_density, polygon_density)
-        est = value * lambert * wod
-        return jnp.where((d_shading[2] > 0.0) & hit, est, 0.0)
+        est = value1 * lambert * wod
+        gate = (d_shading[2] > 0.0) & hit
+        return jnp.where(gate, est, 0.0), d_world, t_max
 
     if pairs.shape[0] == 1:
-        return one_sample(pairs[0])
-    return jnp.sum(jax.vmap(one_sample)(pairs), axis=0)
+        b, d, t = one_sample(pairs[0])
+        return (jnp.zeros(3), b[None], d[None], t[None])
+    b, d, t = jax.vmap(one_sample)(pairs)
+    return (jnp.zeros(3), b, d, t)
+
+
+def rays_per_light(settings: RenderSettings) -> int:
+    """Static shadow-ray budget per light (one per technique sample plus
+    one per GGX/specular companion sample; equals the noise-pair budget)."""
+    return pairs_per_light(settings)
 
 
 def _sample_area_polygon_turk(vertex_count, verts_world, fan_areas, rnd):

@@ -20,6 +20,7 @@ from ..assets.noise import NoiseTable, NoiseType, load_noise_table
 from ..assets.vks import SceneMesh, load_vks
 from ..ops.ltc import LtcTable
 from ..render.bvh import Bvh, build_bvh
+from ..render.wavefront import Clusters, build_clusters
 from ..render.texture import TextureAtlas, build_texture_atlas
 from .lights import PolygonalLight, PolygonalLightSpec, stack_lights, \
     update_polygonal_light
@@ -46,6 +47,7 @@ class Scene(NamedTuple):
     # Tables.
     ltc: LtcTable
     bvh: Bvh
+    clusters: Clusters
     noise_table: jnp.ndarray          # (L, H, W, 4) f32 in [0, 1]
     noise_resolution_mask: jnp.ndarray   # (2,) u32
     noise_texture_index_mask: jnp.ndarray  # () u32
@@ -145,6 +147,7 @@ def build_scene(mesh: SceneMesh, texture_dir: str,
         ltc = identity_ltc_table()
 
     bvh = build_bvh(positions)
+    clusters = build_clusters(positions)
 
     return Scene(
         triangle_positions=jnp.asarray(positions),
@@ -156,6 +159,7 @@ def build_scene(mesh: SceneMesh, texture_dir: str,
         light_atlas=light_atlas,
         ltc=ltc,
         bvh=bvh,
+        clusters=clusters,
         noise_table=jnp.asarray(
             noise.table.astype(np.float32) / 65535.0),
         noise_resolution_mask=jnp.asarray(noise.resolution_mask),
