@@ -79,7 +79,8 @@ def build_clusters(triangle_positions: np.ndarray,
 
 
 def _slab_mask(lo, hi, origins, dirs, t_max):
-    """(R, K) ray/AABB test. origins/dirs: (R, 3); t_max: (R,) or scalar."""
+    """(R, K) ray/AABB test. origins/dirs: (R, 3); t_max: (R,) or scalar.
+    Returns (mask, t_near)."""
     inv = jnp.where(jnp.abs(dirs) > 1e-20,
                     1.0 / jnp.where(jnp.abs(dirs) > 1e-20, dirs, 1.0), 1e30)
     t0 = (lo[None, :, :] - origins[:, None, :]) * inv[:, None, :]
@@ -87,15 +88,13 @@ def _slab_mask(lo, hi, origins, dirs, t_max):
     t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
     t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
     t_cap = jnp.broadcast_to(jnp.asarray(t_max), origins.shape[:1])
-    return (t_near <= t_far) & (t_far >= 0.0) & (t_near <= t_cap[:, None])
+    mask = (t_near <= t_far) & (t_far >= 0.0) & (t_near <= t_cap[:, None])
+    return mask, t_near
 
 
 def _cull_topk(mask, pairs_per_ray: int):
-    """Per-ray list of up to pairs_per_ray hit clusters.
-
-    Returns (cluster_idx (R, ppr) int32, valid (R, ppr) bool, overflow ()).
-    Clusters come out in ascending index order (= Morton order, roughly
-    front-to-back for coherent scenes)."""
+    """Per-ray list of up to pairs_per_ray hit clusters, ascending index
+    order. Used for any-hit where order does not matter."""
     k = mask.shape[1]
     score = jnp.where(mask, k - jnp.arange(k, dtype=jnp.int32)[None, :], 0)
     vals, cols = jax.lax.top_k(score, pairs_per_ray)
@@ -103,6 +102,20 @@ def _cull_topk(mask, pairs_per_ray: int):
     hits = jnp.sum(mask, dtype=jnp.int32)
     overflow = hits - jnp.sum(valid, dtype=jnp.int32)
     return cols.astype(jnp.int32), valid, overflow
+
+
+def _cull_topk_nearest(mask, t_near, pairs_per_ray: int):
+    """Per-ray nearest pairs_per_ray hit clusters, front to back.
+
+    Returns (cluster_idx, valid, t_near_bound) where t_near_bound is the
+    entry of the NEXT (dropped) cluster: a closest hit with
+    t_best <= t_near_bound is provably exact."""
+    score = jnp.where(mask, -t_near, -jnp.inf)
+    vals, cols = jax.lax.top_k(score, pairs_per_ray + 1)
+    valid = jnp.isfinite(vals[:, :pairs_per_ray])
+    t_near_bound = jnp.where(jnp.isfinite(vals[:, pairs_per_ray]),
+                             -vals[:, pairs_per_ray], jnp.inf)
+    return cols[:, :pairs_per_ray].astype(jnp.int32), valid, t_near_bound
 
 
 def _chunk_rows(arrays, row_chunk: int):
@@ -149,10 +162,14 @@ def trace_closest(clusters: Clusters, origins, dirs, pairs_per_ray: int = 16,
     ray/cluster pairs dropped because pairs_per_ray was too small (0 in
     healthy runs)."""
     origins = jnp.broadcast_to(origins, dirs.shape)
-    mask = _slab_mask(clusters.aabb_lo, clusters.aabb_hi, origins, dirs,
-                      jnp.inf)
-    cluster_idx, valid, overflow = _cull_topk(
-        mask, min(pairs_per_ray, clusters.cluster_count))
+    mask, t_near = _slab_mask(clusters.aabb_lo, clusters.aabb_hi, origins,
+                              dirs, jnp.inf)
+    ppr = min(pairs_per_ray, clusters.cluster_count)
+    if ppr < clusters.cluster_count:
+        cluster_idx, valid, t_bound = _cull_topk_nearest(mask, t_near, ppr)
+    else:
+        cluster_idx, valid, _ = _cull_topk(mask, ppr)
+        t_bound = jnp.full(dirs.shape[:1], jnp.inf)
 
     row_chunk = min(_ROW_CHUNK, dirs.shape[0])
     (o_c, d_c, ci_c, va_c), r = _chunk_rows(
@@ -171,7 +188,12 @@ def trace_closest(clusters: Clusters, origins, dirs, pairs_per_ray: int = 16,
         return None, (t_best, prim_best)
 
     _, (t_out, prim_out) = jax.lax.scan(body, None, (o_c, d_c, ci_c, va_c))
-    return prim_out.reshape(-1)[:r], t_out.reshape(-1)[:r], overflow
+    t_out = t_out.reshape(-1)[:r]
+    prim_out = prim_out.reshape(-1)[:r]
+    # A result is provably exact when the winning t precedes the first
+    # dropped cluster; "overflow" counts rays without that guarantee.
+    uncertain = jnp.isfinite(t_bound) & (t_out > t_bound)
+    return prim_out, t_out, jnp.sum(uncertain, dtype=jnp.int32)
 
 
 def trace_anyhit(clusters: Clusters, origins, dirs, t_max,
@@ -181,8 +203,8 @@ def trace_anyhit(clusters: Clusters, origins, dirs, t_max,
     Returns (occluded bool (R,), overflow ())."""
     origins = jnp.broadcast_to(origins, dirs.shape)
     t_max = jnp.broadcast_to(jnp.asarray(t_max), dirs.shape[:1])
-    mask = _slab_mask(clusters.aabb_lo, clusters.aabb_hi, origins, dirs,
-                      t_max)
+    mask, _ = _slab_mask(clusters.aabb_lo, clusters.aabb_hi, origins, dirs,
+                         t_max)
     cluster_idx, valid, overflow = _cull_topk(
         mask, min(pairs_per_ray, clusters.cluster_count))
 
