@@ -84,3 +84,6 @@ class RenderSettings:
     output_linear_rgb: bool = False
     # frame_bits for 2-frame HDR capture: 0 = color, 1 = low, 2 = high.
     frame_bits: int = 0
+    # Linear (segment) light sampling technique (HPG 2021 companion):
+    # uniform | distance | projected_ris.
+    linear_technique: str = "projected_ris"

@@ -29,6 +29,8 @@ from .shading import (INVALID_PRIMITIVE, FrameConstants, SceneStatic,
 from ..ops.intersect import polygonal_light_ray_intersection
 from ..ops.math_utils import normalize
 from .shading import get_polygon_radiance
+from .line_shading import (evaluate_linear_light_shading,
+                           linear_pairs_per_light)
 from .bvh import make_bvh_closest_hit, make_bvh_occlusion
 from .visibility import make_bruteforce_occlusion, trace_primary_bruteforce
 from .wavefront import trace_anyhit, trace_closest
@@ -94,6 +96,16 @@ def _shade_pixel(scene: Scene, static: SceneStatic, settings: RenderSettings,
         b_all.append(jnp.where(hit, result.b, 0.0))
         dir_all.append(result.ray_dirs)
         tmax_all.append(result.t_max)
+    lppl = linear_pairs_per_light(settings)
+    offset = static.light_count * ppl
+    for i in range(static.linear_light_count):
+        light_pairs = noise_pairs[offset + i * lppl:offset + (i + 1) * lppl]
+        lbase, lb, ldirs, ltmax = evaluate_linear_light_shading(
+            scene, settings, i, data, ltc, light_pairs)
+        base = base + jnp.where(hit, lbase, 0.0)
+        b_all.append(jnp.where(hit, lb, 0.0))
+        dir_all.append(ldirs)
+        tmax_all.append(ltmax)
     b = jnp.concatenate(b_all, axis=0)
     dirs = jnp.concatenate(dir_all, axis=0)
     tmax = jnp.concatenate(tmax_all, axis=0)
@@ -157,7 +169,9 @@ def render_frame_jit(scene: Scene, static: SceneStatic,
             scene.triangle_positions, constants.camera_position, ray_dirs)
 
     ppl = pairs_per_light(settings)
-    total_pairs = max(ppl * static.light_count, 1)
+    total_pairs = max(ppl * static.light_count
+                      + linear_pairs_per_light(settings)
+                      * static.linear_light_count, 1)
     noise_pairs = get_noise_pairs(
         scene.noise_table, pixels_i, total_pairs,
         scene.noise_resolution_mask, scene.noise_texture_index_mask,

@@ -53,6 +53,7 @@ class SceneStatic:
     defines (MATERIAL_COUNT, POLYGONAL_LIGHT_COUNT, ...)."""
     light_count: int
     light_texturing: tuple  # per light: PolygonTexturing int
+    linear_light_count: int = 0
     max_light_vertex_count: int = MAXV - 1
     # Traversal backend: "auto" resolves to wavefront for large scenes and
     # brute force for small ones; "bvh" selects the threaded-BVH path

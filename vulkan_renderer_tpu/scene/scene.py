@@ -24,6 +24,7 @@ from ..render.wavefront import Clusters, build_clusters
 from ..render.texture import TextureAtlas, build_texture_atlas
 from .lights import PolygonalLight, PolygonalLightSpec, stack_lights, \
     update_polygonal_light
+from .linear_lights import LinearLights, LinearLightSpec, stack_linear_lights
 
 INVALID_PRIMITIVE = np.uint32(0xFFFFFFFF)
 
@@ -43,6 +44,7 @@ class Scene(NamedTuple):
     material_atlas: TextureAtlas
     # Lights (stacked, leading light axis).
     lights: PolygonalLight
+    linear_lights: LinearLights
     light_atlas: TextureAtlas
     # Tables.
     ltc: LtcTable
@@ -125,7 +127,9 @@ def build_scene(mesh: SceneMesh, texture_dir: str,
                 light_specs: list[PolygonalLightSpec],
                 ltc: LtcTable | None = None,
                 noise_type: NoiseType = NoiseType.WHITE,
-                data_directory: str = "data") -> Scene:
+                data_directory: str = "data",
+                linear_light_specs: list[LinearLightSpec] | None = None
+                ) -> Scene:
     positions = mesh.dequantized_positions().reshape(-1, 3, 3)
     normals = mesh.decoded_normals().reshape(-1, 3, 3)
     tex_coords = mesh.decoded_tex_coords().reshape(-1, 3, 2)
@@ -156,6 +160,7 @@ def build_scene(mesh: SceneMesh, texture_dir: str,
         material_indices=jnp.asarray(mesh.material_indices.astype(np.int32)),
         material_atlas=material_atlas,
         lights=stack_lights(lights),
+        linear_lights=stack_linear_lights(linear_light_specs or []),
         light_atlas=light_atlas,
         ltc=ltc,
         bvh=bvh,
