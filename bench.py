@@ -21,7 +21,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--width", type=int, default=960)
     parser.add_argument("--height", type=int, default=540)
-    parser.add_argument("--frames", type=int, default=10)
+    parser.add_argument("--frames", type=int, default=5)
     parser.add_argument("--spp", type=int, default=1)
     parser.add_argument("--scene", default="city")
     parser.add_argument("--buildings", type=int, default=300)

@@ -151,3 +151,25 @@ def test_write_test_scene(tmp_path):
                                     f"{name}_{suffix}.vkt")
             tex = vkt.load_vkt(tex_path)
             assert tex.width == 32
+
+
+def test_noise_blob_roundtrip(tmp_path):
+    """Generated .blob files load through the reference's naming scheme."""
+    import numpy as np
+    from vulkan_renderer_tpu.tools.generate_noise import generate_blob
+    noise_dir = tmp_path / "noise"
+    noise_dir.mkdir()
+    table = generate_blob("blue_noise", 64, 64, 1, seed=3)
+    (noise_dir / "blue_noise_rgba_64x64_01.blob").write_bytes(table.tobytes())
+    loaded = load_noise_table(NoiseType.BLUE, str(tmp_path),
+                              resolution=(64, 64, 1))
+    np.testing.assert_array_equal(loaded.table, table)
+    # Blue noise must differ from the white-noise fallback.
+    white = load_noise_table(NoiseType.WHITE, resolution=(64, 64, 1))
+    assert not np.array_equal(loaded.table, white.table)
+
+
+def test_default_ltc_table_loads():
+    from vulkan_renderer_tpu.assets.ltc_table import default_ltc_table
+    table = default_ltc_table()
+    assert table.table.ndim == 4 and table.table.shape[-1] == 6

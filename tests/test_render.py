@@ -73,10 +73,12 @@ def test_combined_strategies_agree(cornell):
     base = means[S.DIFFUSE_SPECULAR_MIS]
     for strat, m in means.items():
         assert m == pytest.approx(base, rel=0.08), (strat, m, base)
-    # Combined > diffuse-only (specular adds energy).
+    # Diffuse-only evaluates the FULL BRDF at diffuse-sampled directions
+    # (shading_pass.frag.glsl sample_polygon_diffuse path), so it estimates
+    # the same integral as the combined strategies — agreement, not ordering.
     diffuse = render(cornell, sampling_strategy=S.DIFFUSE_ONLY,
                      polygon_sampling_technique=T.PROJECTED_SOLID_ANGLE)
-    assert base >= diffuse.mean() * 0.999
+    assert diffuse.mean() == pytest.approx(base, rel=0.08)
 
 
 def test_mis_heuristics_agree(cornell):

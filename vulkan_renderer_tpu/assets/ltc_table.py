@@ -132,3 +132,27 @@ def identity_ltc_table(roughness_count: int = 32, inclination_count: int = 32,
     table1[..., 1] = albedo
     merged = np.concatenate([table0, table1], axis=-1)
     return LtcTable(table=jnp.asarray(merged), constants=constants)
+
+
+_BUILTIN_DIRECTORY = os.path.join(os.path.dirname(__file__), "..",
+                                  "data_builtin", "ltc_fits")
+_DEFAULT_CACHE = None
+
+
+def default_ltc_table() -> LtcTable:
+    """The best available table: reference fit files under data/ltc_fits,
+    then the packaged TPU-fitted tables (tools/fit_ltc.py output committed
+    under data_builtin/), then the identity fallback."""
+    global _DEFAULT_CACHE
+    if _DEFAULT_CACHE is not None:
+        return _DEFAULT_CACHE
+    for directory, count in (("data/ltc_fits", 51),
+                             (os.path.abspath(_BUILTIN_DIRECTORY), 8)):
+        if os.path.exists(os.path.join(directory, "fit0.dat")):
+            try:
+                _DEFAULT_CACHE = load_ltc_table_files(directory, count)
+                return _DEFAULT_CACHE
+            except Exception:
+                pass
+    _DEFAULT_CACHE = identity_ltc_table()
+    return _DEFAULT_CACHE

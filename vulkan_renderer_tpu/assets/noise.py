@@ -20,7 +20,7 @@ from ..ops.math_utils import wang_hash_np
 class NoiseType(enum.Enum):
     """reference: noise_table.h:22-55."""
     WHITE = "white"
-    BLUE = "blue"
+    BLUE = "blue_noise"
     SOBOL = "sobol_2d"
     OWEN = "owen_2d"
     BURLEY_OWEN = "burley_owen_2d"
@@ -61,6 +61,21 @@ def load_noise_table(noise_type: NoiseType, data_directory: str = "data",
         # blob naming: <type>_rgba_%02dx%02d_%02d.blob (noise_table.c:77-106)
         name = f"{noise_type.value}_rgba_{width:02d}x{height:02d}_{layers:02d}.blob"
         path = os.path.join(data_directory, "noise", name)
+        if not os.path.exists(path):
+            # Packaged tables (tools/generate_noise.py output) — any
+            # resolution of the right type.
+            import glob
+            builtin = os.path.join(os.path.dirname(__file__), "..",
+                                   "data_builtin", "noise",
+                                   f"{noise_type.value}_rgba_*.blob")
+            matches = sorted(glob.glob(builtin))
+            if matches:
+                path = matches[-1]
+                stem = os.path.basename(path)[:-5]
+                dims, layer_s = stem.rsplit("_", 2)[-2:]
+                width, height = (int(v) for v in dims.split("x"))
+                layers = int(layer_s)
+                cell_count = width * height * layers * 4
         if os.path.exists(path):
             data = np.fromfile(path, np.uint16, cell_count)
         else:

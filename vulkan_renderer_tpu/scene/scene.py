@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..assets import vkt
-from ..assets.ltc_table import identity_ltc_table
+from ..assets.ltc_table import default_ltc_table
 from ..assets.noise import NoiseTable, NoiseType, load_noise_table
 from ..assets.vks import SceneMesh, load_vks
 from ..ops.ltc import LtcTable
@@ -148,7 +148,7 @@ def build_scene(mesh: SceneMesh, texture_dir: str,
 
     noise = load_noise_table(noise_type, data_directory)
     if ltc is None:
-        ltc = identity_ltc_table()
+        ltc = default_ltc_table()
 
     bvh = build_bvh(positions)
     clusters = build_clusters(positions)
