@@ -46,9 +46,12 @@ def clip_polygon(vertices, vertex_count, max_verts: int = MAX_POLYGON_VERTEX_COU
     active = lanes < vertex_count
     above = (v[:, 2] > 0.0) & active
 
-    next_idx = jnp.where(lanes + 1 == vertex_count, 0, lanes + 1)
-    v_next = v[next_idx]
-    above_next = above[next_idx]
+    # next vertex = cyclic shift by one with the wrap at vertex_count.
+    # (A dynamic-index gather here becomes a serialized batched gather
+    # under vmap on TPU; roll + a single lane fix stays on the VPU.)
+    wrap = lanes == vertex_count - 1
+    v_next = jnp.where(wrap[:, None], v[0], jnp.roll(v, -1, axis=0))
+    above_next = jnp.where(wrap, above[0], jnp.roll(above, -1))
 
     # Per input edge (cur -> next): emit cur if cur above; emit the plane
     # intersection if the edge crosses the horizon.
@@ -60,11 +63,16 @@ def clip_polygon(vertices, vertex_count, max_verts: int = MAX_POLYGON_VERTEX_COU
     offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
     out_count = jnp.sum(counts)
 
-    out = jnp.zeros((max_verts, 3), v.dtype)
-    idx_cur = jnp.where(emit_cur, offsets, max_verts)  # max_verts drops
-    out = out.at[idx_cur].set(v, mode="drop")
-    idx_int = jnp.where(emit_int, offsets + emit_cur.astype(jnp.int32), max_verts)
-    out = out.at[idx_int].set(isect, mode="drop")
+    # Scatter-free compose: out[j] = the unique emitted element whose output
+    # slot is j. Each (k, j) match is exclusive, so a masked sum is exact;
+    # jnp.where (not multiply) keeps NaNs from inactive isect lanes out.
+    match_cur = emit_cur[:, None] & (offsets[:, None] == lanes[None, :])
+    idx_int = offsets + emit_cur.astype(jnp.int32)
+    match_int = emit_int[:, None] & (idx_int[:, None] == lanes[None, :])
+    zero = jnp.zeros((), v.dtype)
+    out = jnp.sum(jnp.where(match_cur[..., None], v[:, None, :], zero), axis=0)
+    out = out + jnp.sum(jnp.where(match_int[..., None], isect[:, None, :],
+                                  zero), axis=0)
 
     # Degenerate results (fewer than 3 vertices) count as fully clipped.
     out_count = jnp.where(out_count >= 3, out_count, 0)

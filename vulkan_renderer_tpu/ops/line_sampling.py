@@ -32,7 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .math_utils import F32, M_PI, normalize
+from .math_utils import F32, M_PI, normalize, pick_lane
 
 
 class LineSampling(NamedTuple):
@@ -125,11 +125,11 @@ def sample_line_ris(prep: LineSampling, shading_position, target_fn,
     pick = random_numbers[-1, 1] * total
     sel = jnp.argmax(pick < cum)
     sel = jnp.where(total > 0.0, sel, 0)
-    t = jnp.stack(ts)[sel]
-    omega = jnp.stack([g[0] for g in geo])[sel]
-    dist = jnp.stack([g[1] for g in geo])[sel]
-    sin_alpha = jnp.stack([g[2] for g in geo])[sel]
-    target_sel = jnp.stack(targets)[sel]
+    t = pick_lane(jnp.stack(ts), sel)
+    omega = pick_lane(jnp.stack([g[0] for g in geo]), sel)
+    dist = pick_lane(jnp.stack([g[1] for g in geo]), sel)
+    sin_alpha = pick_lane(jnp.stack([g[2] for g in geo]), sel)
+    target_sel = pick_lane(jnp.stack(targets), sel)
     ris_weight = total / ris_candidates
     # Estimator: f / target * ris_weight; guard degenerate totals.
     inv_target = jnp.where(target_sel > 0.0,

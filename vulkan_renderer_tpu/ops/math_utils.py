@@ -53,6 +53,22 @@ def wang_hash_np(seed: np.ndarray) -> np.ndarray:
     return seed
 
 
+def pick_lane(arr, idx):
+    """arr[idx] along axis 0 without a gather.
+
+    Dynamic scalar indexing becomes a batched gather under vmap, which
+    serializes on TPU. A one-hot select + reduce lowers to pure VPU
+    select/add ops and is bit-exact (exactly one nonzero summand). Out-of-
+    range idx returns zeros (gather-with-clamp semantics differ; callers
+    must keep idx in range when the value matters)."""
+    lanes_shape = (arr.shape[0],) + (1,) * (arr.ndim - 1)
+    mask = (jnp.arange(arr.shape[0]) == idx).reshape(lanes_shape)
+    if arr.dtype == jnp.bool_:
+        return jnp.any(mask & arr, axis=0)
+    zero = jnp.zeros((), arr.dtype)
+    return jnp.sum(jnp.where(mask, arr, zero), axis=0)
+
+
 # ---------------------------------------------------------------------------
 # Error-free transformations / stable determinants
 # ---------------------------------------------------------------------------

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from .. import MAX_POLYGON_VERTEX_COUNT
 from .math_utils import (F32, M_HALF_PI, M_PI, cross_stable,
                          fast_positive_atan, kahan, mix_fma, normalize,
-                         positive_atan)
+                         pick_lane, positive_atan)
 
 MAXV = MAX_POLYGON_VERTEX_COUNT
 _INF = jnp.float32(jnp.inf)
@@ -108,12 +108,12 @@ def sample_solid_angle_polygon(polygon: SolidAnglePolygon, random_numbers):
     last_valid = jnp.maximum(polygon.vertex_count - 3, 0)
     sel = jnp.where(jnp.any(reached), jnp.argmax(reached), last_valid)
 
-    prev_fan = jnp.where(sel > 0, polygon.fan_solid_angles[jnp.maximum(sel - 1, 0)], 0.0)
+    prev_fan = pick_lane(polygon.fan_solid_angles, sel - 1)  # 0 when sel == 0
     sub_solid_angle = target - prev_fan
-    params = polygon.triangle_parameters[sel]
-    v0 = polygon.vertex_dirs[sel + 1]
+    params = pick_lane(polygon.triangle_parameters, sel)
+    v0 = pick_lane(polygon.vertex_dirs, sel + 1)
     v1 = polygon.vertex_dirs[0]
-    v2 = polygon.vertex_dirs[sel + 2]
+    v2 = pick_lane(polygon.vertex_dirs, sel + 2)
 
     cos_h = jnp.cos(0.5 * sub_solid_angle)
     sin_h = jnp.sin(0.5 * sub_solid_angle)
@@ -285,9 +285,21 @@ def _sort_convex_polygon_vertices(vertices, ellipses, vertex_count):
     dot = ref[0] * vertices[:, 0] + ref[1] * vertices[:, 1]
     keys = jnp.arctan2(cross, dot)
     keys = jnp.where(active, keys, jnp.inf)
-    order = jnp.argsort(keys, stable=True)
-    order = jnp.where(active, order, lanes)
-    return vertices[order], ellipses[order]
+    # Rank-based permutation instead of argsort + gather: both the sort and
+    # the permutation apply become 8x8 VPU compare/select/reduce ops (a
+    # batched gather under vmap serializes on TPU). rank[k] = stable-sort
+    # position of k; the one-hot (rank[k] == j) IS the permutation matrix,
+    # and each masked sum has exactly one nonzero term (bit-exact).
+    kj, kk = keys[:, None], keys[None, :]
+    before = (kj < kk) | ((kj == kk) & (lanes[:, None] < lanes[None, :]))
+    rank = jnp.sum(before, axis=0)  # (MAXV,) position of lane k
+    perm = rank[None, :] == lanes[:, None]  # perm[j, k] <=> order[j] == k
+    zero_v = jnp.zeros((), vertices.dtype)
+    sorted_v = jnp.sum(jnp.where(perm[..., None], vertices[None], zero_v),
+                       axis=1)
+    sorted_e = jnp.sum(jnp.where(perm[..., None], ellipses[None], zero_v),
+                       axis=1)
+    return sorted_v, sorted_e
 
 
 def prepare_projected_solid_angle_polygon_sampling(vertices, vertex_count,
@@ -311,17 +323,22 @@ def prepare_projected_solid_angle_polygon_sampling(vertices, vertex_count,
     # because of the padding. Lanes >= count are inactive.
 
     raw_inner = is_inner_ellipse(raw[:, 0])
-    prev_idx = jnp.where(lanes == 0, count - 1, lanes - 1)
-    prev_raw = raw[prev_idx]
-    prev_inner = raw_inner[prev_idx]
+    # prev = cyclic shift by one (wrap at lane 0 -> count-1), gather-free.
+    last_raw = pick_lane(raw, count - 1)
+    last_inner = pick_lane(raw_inner, count - 1)
+    lane0 = lanes == 0
+    prev_raw = jnp.where(lane0[:, None], last_raw, jnp.roll(raw, 1, axis=0))
+    prev_inner = jnp.where(lane0, last_inner, jnp.roll(raw_inner, 1))
 
     # If edge i is inner, vertex i keeps the previous (outer) ellipse.
     ellipses = jnp.where(raw_inner[:, None], prev_raw, raw)
-    # The dropped inner ellipse at the inner->outer transition is recorded.
+    # The dropped inner ellipse at the inner->outer transition is recorded
+    # (first transition lane, selected one-hot instead of argmax + gather).
     transition = active & prev_inner & (~raw_inner)
     has_transition = jnp.any(transition)
-    trans_lane = jnp.argmax(transition)
-    inner_ellipse_0 = jnp.where(has_transition, prev_raw[trans_lane],
+    first_trans = transition & (jnp.cumsum(transition) == 1)
+    picked = jnp.sum(jnp.where(first_trans[:, None], prev_raw, 0.0), axis=0)
+    inner_ellipse_0 = jnp.where(has_transition, picked,
                                 jnp.array([1.0, 0.0], F32))
 
     central = inner_ellipse_0[0] > 0.0
@@ -500,7 +517,8 @@ def _select_sector(polygon: ProjectedSolidAnglePolygon, target, num_sectors):
     valid = lanes < num_sectors
     reached = (target < cum) & valid
     sel = jnp.where(jnp.any(reached), jnp.argmax(reached), num_sectors - 1)
-    remaining = target - jnp.where(sel > 0, cum[jnp.maximum(sel - 1, 0)], 0.0)
+    # pick_lane(cum, -1) == 0 for sel == 0, matching the reference's branch.
+    remaining = target - pick_lane(cum, sel - 1)
     return sel, remaining
 
 
@@ -515,8 +533,8 @@ def sample_projected_solid_angle_polygon(polygon: ProjectedSolidAnglePolygon,
 
     # ---- central case -----------------------------------------------------
     sel_c, rem_c = _select_sector(polygon, target, count)
-    outer_c = polygon.ellipses[sel_c]
-    dir0_c = polygon.vertices[sel_c]
+    outer_c = pick_lane(polygon.ellipses, sel_c)
+    dir0_c = pick_lane(polygon.vertices, sel_c)
     sqrt_det = jnp.sqrt(get_ellipse_det(outer_c))
     angle = 2.0 * rem_c * sqrt_det
     dir_c = (jnp.cos(angle) * sqrt_det) * dir0_c \
@@ -526,11 +544,11 @@ def sample_projected_solid_angle_polygon(polygon: ProjectedSolidAnglePolygon,
 
     # ---- decentral case ---------------------------------------------------
     sel_d, rem_d = _select_sector(polygon, target, count - 1)
-    inner_d = polygon.sector_inner[sel_d]
-    outer_d = polygon.sector_outer[sel_d]
-    dir0_d = polygon.vertices[sel_d]
-    dir1_d = polygon.vertices[sel_d + 1]
-    sector_psa = polygon.sector_psa[sel_d]
+    inner_d = pick_lane(polygon.sector_inner, sel_d)
+    outer_d = pick_lane(polygon.sector_outer, sel_d)
+    dir0_d = pick_lane(polygon.vertices, sel_d)
+    dir1_d = pick_lane(polygon.vertices, sel_d + 1)
+    sector_psa = pick_lane(polygon.sector_psa, sel_d)
     r0 = rem_d / jnp.where(sector_psa > 0.0, sector_psa, 1.0)
     rnd_d = jnp.stack([r0, random_numbers[1]])
     dir_d = sample_sector_between_ellipses(rnd_d, rem_d, inner_d, outer_d,
@@ -549,9 +567,9 @@ def compute_projected_solid_angle_polygon_sampling_error(
     target = random_numbers[0] * polygon.projected_solid_angle
     sel, remaining = _select_sector(polygon, target,
                                     polygon.vertex_count - 1)
-    inner_e = polygon.sector_inner[sel]
-    outer_e = polygon.sector_outer[sel]
-    dir_0 = polygon.vertices[sel]
+    inner_e = pick_lane(polygon.sector_inner, sel)
+    outer_e = pick_lane(polygon.sector_outer, sel)
+    dir_0 = pick_lane(polygon.vertices, sel)
 
     sampled_psa = get_area_between_ellipses_in_sector(
         inner_e, get_ellipse_rsqrt_det(inner_e),

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from .. import MAX_POLYGON_VERTEX_COUNT as MAXV
-from .math_utils import F32, M_PI, mix_fma, normalize, positive_atan
+from .math_utils import (F32, M_PI, mix_fma, normalize, pick_lane,
+                         positive_atan)
 from .sampling import rotate_90
 
 
@@ -126,10 +127,15 @@ def prepare_projected_solid_angle_polygon_sampling_arvo(vertices,
     raw_cdf, raw_len, raw_elev = _prepare_edge(v, next_v)
     raw_inner = raw_cdf < 0.0
 
-    prev_idx = jnp.where(lanes == 0, count - 1, lanes - 1)
-    prev_cdf = raw_cdf[prev_idx]
-    prev_len = raw_len[prev_idx]
-    prev_elev = raw_elev[prev_idx]
+    # prev = cyclic shift by one (wrap lane 0 -> count-1), gather-free: a
+    # dynamic-index gather under vmap serializes on TPU.
+    lane0 = lanes == 0
+    prev_cdf = jnp.where(lane0, pick_lane(raw_cdf, count - 1),
+                         jnp.roll(raw_cdf, 1))
+    prev_len = jnp.where(lane0[:, None], pick_lane(raw_len, count - 1),
+                         jnp.roll(raw_len, 1, axis=0))
+    prev_elev = jnp.where(lane0[:, None], pick_lane(raw_elev, count - 1),
+                          jnp.roll(raw_elev, 1, axis=0))
 
     edge_cdf = jnp.where(raw_inner, prev_cdf, raw_cdf)
     edge_len = jnp.where(raw_inner[:, None], prev_len, raw_len)
@@ -137,10 +143,18 @@ def prepare_projected_solid_angle_polygon_sampling_arvo(vertices,
 
     transition = active & (prev_cdf < 0.0) & (~raw_inner)
     has_transition = jnp.any(transition)
-    tl = jnp.argmax(transition)
-    inner_cdf = jnp.where(has_transition, prev_cdf[tl], 1.0)
-    inner_len = jnp.where(has_transition, prev_len[tl], jnp.zeros(2))
-    inner_elev = jnp.where(has_transition, prev_elev[tl], jnp.zeros(2))
+    first_trans = transition & (jnp.cumsum(transition) == 1)
+    inner_cdf = jnp.where(
+        has_transition,
+        jnp.sum(jnp.where(first_trans, prev_cdf, 0.0)), 1.0)
+    inner_len = jnp.where(
+        has_transition,
+        jnp.sum(jnp.where(first_trans[:, None], prev_len, 0.0), axis=0),
+        jnp.zeros(2))
+    inner_elev = jnp.where(
+        has_transition,
+        jnp.sum(jnp.where(first_trans[:, None], prev_elev, 0.0), axis=0),
+        jnp.zeros(2))
     central = inner_cdf > 0.0
 
     # --- central case -------------------------------------------------------
@@ -151,12 +165,22 @@ def prepare_projected_solid_angle_polygon_sampling_arvo(vertices,
 
     # --- decentral: sort by azimuth, walk sectors ---------------------------
     keys = jnp.where(active, az, jnp.inf)
-    order = jnp.argsort(keys, stable=True)
-    order = jnp.where(active, order, lanes)
-    s_az = az[order]
-    s_cdf = edge_cdf[order]
-    s_len = edge_len[order]
-    s_elev = edge_elev[order]
+    # Rank-based one-hot permutation (see ops/sampling.py): pure VPU
+    # compare/select/reduce instead of argsort + serialized batched gathers.
+    kj, kk = keys[:, None], keys[None, :]
+    before = (kj < kk) | ((kj == kk) & (lanes[:, None] < lanes[None, :]))
+    rank = jnp.sum(before, axis=0)
+    perm = rank[None, :] == lanes[:, None]  # perm[j, k] <=> order[j] == k
+
+    def permute(arr):
+        mask = perm[..., None] if arr.ndim == 2 else perm
+        return jnp.sum(jnp.where(mask, arr[None], jnp.zeros((), arr.dtype)),
+                       axis=1)
+
+    s_az = permute(az)
+    s_cdf = permute(edge_cdf)
+    s_len = permute(edge_len)
+    s_elev = permute(edge_elev)
 
     in_cdf, in_len, in_elev = inner_cdf, inner_len, inner_elev
     in_az = s_az[0]
@@ -237,7 +261,8 @@ def _select_sector(polygon, target, num_sectors):
     valid = lanes < num_sectors
     reached = (target < cum) & valid
     sel = jnp.where(jnp.any(reached), jnp.argmax(reached), num_sectors - 1)
-    remaining = target - jnp.where(sel > 0, cum[jnp.maximum(sel - 1, 0)], 0.0)
+    # pick_lane(cum, -1) == 0 for sel == 0, matching the reference's branch.
+    remaining = target - pick_lane(cum, sel - 1)
     return sel, remaining
 
 
@@ -251,14 +276,14 @@ def sample_projected_solid_angle_polygon_arvo(
 
     # ---- central case ------------------------------------------------------
     sel_c, rem_c = _select_sector(polygon, target, count)
-    out_cdf_c = polygon.edge_cdf[sel_c]
-    out_len_c = polygon.edge_len[sel_c]
-    out_elev_c = polygon.edge_elev[sel_c]
-    out_az_c = polygon.vertex_azimuths[sel_c]
+    out_cdf_c = pick_lane(polygon.edge_cdf, sel_c)
+    out_len_c = pick_lane(polygon.edge_len, sel_c)
+    out_elev_c = pick_lane(polygon.edge_elev, sel_c)
+    out_az_c = pick_lane(polygon.vertex_azimuths, sel_c)
     next_idx = jnp.where(sel_c + 1 == count, 0, sel_c + 1)
-    az1_c = polygon.vertex_azimuths[next_idx]
+    az1_c = pick_lane(polygon.vertex_azimuths, next_idx)
     az1_c = jnp.where(az1_c < out_az_c, az1_c + 2.0 * M_PI, az1_c)
-    psa_c = polygon.sector_psa[sel_c]
+    psa_c = pick_lane(polygon.sector_psa, sel_c)
 
     dir_central = _sample_sector(
         rem_c, random_numbers[1], None, None, None, None,
@@ -269,13 +294,16 @@ def sample_projected_solid_angle_polygon_arvo(
     sel_d, rem_d = _select_sector(polygon, target, count - 1)
     dir_decentral = _sample_sector(
         rem_d, random_numbers[1],
-        polygon.sector_inner_cdf[sel_d], polygon.sector_inner_len[sel_d],
-        polygon.sector_inner_elev[sel_d],
-        polygon.sector_inner_azimuth[sel_d],
-        polygon.sector_outer_cdf[sel_d], polygon.sector_outer_len[sel_d],
-        polygon.sector_outer_elev[sel_d],
-        polygon.sector_outer_azimuth[sel_d],
-        polygon.vertex_azimuths[sel_d], polygon.vertex_azimuths[sel_d + 1],
+        pick_lane(polygon.sector_inner_cdf, sel_d),
+        pick_lane(polygon.sector_inner_len, sel_d),
+        pick_lane(polygon.sector_inner_elev, sel_d),
+        pick_lane(polygon.sector_inner_azimuth, sel_d),
+        pick_lane(polygon.sector_outer_cdf, sel_d),
+        pick_lane(polygon.sector_outer_len, sel_d),
+        pick_lane(polygon.sector_outer_elev, sel_d),
+        pick_lane(polygon.sector_outer_azimuth, sel_d),
+        pick_lane(polygon.vertex_azimuths, sel_d),
+        pick_lane(polygon.vertex_azimuths, sel_d + 1),
         iteration_count)
 
     return jnp.where(central, dir_central, dir_decentral)
@@ -332,21 +360,23 @@ def compute_projected_solid_angle_polygon_sampling_error_arvo(
     target = random_numbers[0] * polygon.projected_solid_angle
     sel, remaining = _select_sector(polygon, target,
                                     polygon.vertex_count - 1)
-    azimuth_0 = polygon.vertex_azimuths[sel]
+    azimuth_0 = pick_lane(polygon.vertex_azimuths, sel)
     sampled_az = jnp.arctan2(sampled_dir[1], sampled_dir[0])
     # Bring the sampled azimuth into the sector's wrapped frame.
     sampled_az = jnp.where(sampled_az < azimuth_0 - M_PI,
                            sampled_az + 2.0 * M_PI, sampled_az)
     sampled_az = jnp.where(sampled_az > azimuth_0 + M_PI,
                            sampled_az - 2.0 * M_PI, sampled_az)
+    out_az = pick_lane(polygon.sector_outer_azimuth, sel)
+    in_az = pick_lane(polygon.sector_inner_azimuth, sel)
     out_psa, _ = _edge_psa_and_derivative(
-        polygon.sector_outer_cdf[sel], polygon.sector_outer_len[sel],
-        azimuth_0 - polygon.sector_outer_azimuth[sel],
-        sampled_az - polygon.sector_outer_azimuth[sel])
+        pick_lane(polygon.sector_outer_cdf, sel),
+        pick_lane(polygon.sector_outer_len, sel),
+        azimuth_0 - out_az, sampled_az - out_az)
     in_psa, _ = _edge_psa_and_derivative(
-        polygon.sector_inner_cdf[sel], polygon.sector_inner_len[sel],
-        azimuth_0 - polygon.sector_inner_azimuth[sel],
-        sampled_az - polygon.sector_inner_azimuth[sel])
+        pick_lane(polygon.sector_inner_cdf, sel),
+        pick_lane(polygon.sector_inner_len, sel),
+        azimuth_0 - in_az, sampled_az - in_az)
     sampled_psa = out_psa + in_psa
     scaled = remaining - sampled_psa
     errors = jnp.stack([scaled / polygon.projected_solid_angle, scaled])

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from .. import MAX_POLYGON_VERTEX_COUNT as MAXV
 from .cubic import solve_cubic
-from .math_utils import F32, M_PI, mix_fma, normalize, positive_atan
+from .math_utils import (F32, M_PI, mix_fma, normalize, pick_lane,
+                         positive_atan)
 from .sampling import (SolidAnglePolygon, prepare_solid_angle_polygon_sampling,
                        sample_solid_angle_polygon)
 
@@ -152,13 +153,12 @@ def sample_solid_angle_polygon_arvo(polygon: SolidAnglePolygonArvo,
     reached = (polygon.fan_solid_angles >= target) & valid
     last_valid = jnp.maximum(polygon.vertex_count - 3, 0)
     sel = jnp.where(jnp.any(reached), jnp.argmax(reached), last_valid)
-    prev_fan = jnp.where(sel > 0,
-                         polygon.fan_solid_angles[jnp.maximum(sel - 1, 0)], 0.0)
+    prev_fan = pick_lane(polygon.fan_solid_angles, sel - 1)  # 0 when sel == 0
     sub_sa = target - prev_fan
-    opposite = polygon.opposite_dirs[sel]
-    tv0 = polygon.vertex_dirs[sel + 1]
+    opposite = pick_lane(polygon.opposite_dirs, sel)
+    tv0 = pick_lane(polygon.vertex_dirs, sel + 1)
     tv1 = polygon.vertex_dirs[0]
-    tv2 = polygon.vertex_dirs[sel + 2]
+    tv2 = pick_lane(polygon.vertex_dirs, sel + 2)
 
     ssa_cos = jnp.cos(sub_sa)
     ssa_sin = jnp.sin(sub_sa)
@@ -187,7 +187,7 @@ class BilinearCosineWarpHart(NamedTuple):
 def _last_vertex_z(dirs, vertex_count):
     """z of the last active vertex (glsl register-spill workaround loop)."""
     idx = jnp.clip(vertex_count - 1, 2, MAXV - 1)
-    return dirs[idx, 2]
+    return pick_lane(dirs[:, 2], idx)
 
 
 def prepare_bilinear_cosine_warp_polygon_sampling_hart(vertices, vertex_count,

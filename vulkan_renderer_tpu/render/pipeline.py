@@ -32,7 +32,7 @@ from .shading import get_polygon_radiance
 from .line_shading import (evaluate_linear_light_shading,
                            linear_pairs_per_light)
 from .bvh import make_bvh_closest_hit, make_bvh_occlusion
-from .visibility import make_bruteforce_occlusion, trace_primary_bruteforce
+from .visibility import trace_anyhit_bruteforce, trace_primary_bruteforce
 from .wavefront import trace_anyhit, trace_closest
 
 
@@ -159,7 +159,7 @@ def render_frame_jit(scene: Scene, static: SceneStatic,
     if traversal == "wavefront":
         primitive_index, _, _ = trace_closest(
             scene.clusters, constants.camera_position, ray_dirs,
-            pairs_per_ray=24)
+            pairs_per_ray=static.primary_pairs_per_ray)
     elif traversal == "bvh":
         closest = make_bvh_closest_hit(scene.bvh)
         primitive_index, _ = jax.vmap(
@@ -184,24 +184,30 @@ def render_frame_jit(scene: Scene, static: SceneStatic,
 
     if settings.trace_shadow_rays:
         s = b.shape[1]
-        flat_origins = jnp.repeat(origins, s, axis=0)
-        flat_dirs = dirs.reshape(-1, 3)
-        flat_tmax = tmax.reshape(-1)
+        p = b.shape[0]
+        # Sample-major megabatch layout: all pixels' rays for sample slot 0
+        # (light 0), then slot 1, ... — rays within a wavefront row chunk
+        # then share one light and a contiguous image region, which keeps
+        # each chunk's cluster union small (the per-chunk compaction
+        # budget covers it).
+        flat_origins = jnp.tile(origins, (s, 1))
+        flat_dirs = dirs.transpose(1, 0, 2).reshape(-1, 3)
+        flat_tmax = tmax.T.reshape(-1)
         # Rays with zero weight cannot contribute; collapse their range so
         # the cull rejects them immediately.
-        live = jnp.any(b.reshape(-1, 3) != 0.0, axis=-1)
+        live = jnp.any(b.transpose(1, 0, 2).reshape(-1, 3) != 0.0, axis=-1)
         flat_tmax = jnp.where(live, flat_tmax, -1.0)
         if traversal == "wavefront":
             occluded, _ = trace_anyhit(scene.clusters, flat_origins,
                                        flat_dirs, flat_tmax,
-                                       pairs_per_ray=12)
+                                       pairs_per_ray=static.shadow_pairs_per_ray)
         elif traversal == "bvh":
             occl = make_bvh_occlusion(scene.bvh)
             occluded = jax.vmap(occl)(flat_origins, flat_dirs, flat_tmax)
         else:
-            occl = make_bruteforce_occlusion(scene.triangle_positions)
-            occluded = jax.vmap(occl)(flat_origins, flat_dirs, flat_tmax)
-        visibility = jnp.where(occluded, 0.0, 1.0).reshape(b.shape[0], s)
+            occluded = trace_anyhit_bruteforce(
+                scene.triangle_positions, flat_origins, flat_dirs, flat_tmax)
+        visibility = jnp.where(occluded, 0.0, 1.0).reshape(s, p).T
     else:
         visibility = jnp.ones(b.shape[:2])
 

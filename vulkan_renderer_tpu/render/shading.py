@@ -36,7 +36,7 @@ from ..ops.intersect import (polygonal_light_ray_intersection,
                              ray_triangle_barycentrics)
 from ..ops.ltc import (LtcCoefficients, evaluate_ltc_density,
                        get_ltc_coefficients)
-from ..ops.math_utils import F32, M_INV_PI, M_PI, normalize
+from ..ops.math_utils import F32, M_INV_PI, M_PI, normalize, pick_lane
 from ..ops.mis import mis_estimate, mis_weight_over_density
 from ..ops.srgb import linear_to_srgb, srgb_to_linear
 from .texture import sample_texture_grad, sample_texture_lod0
@@ -60,6 +60,12 @@ class SceneStatic:
     # (static -> jit specialization). use_bvh is a legacy alias.
     use_bvh: bool = False
     traversal: str = "auto"
+    # Wavefront cluster budgets (clusters tested per ray). Primary rays use
+    # nearest-first culling with an exactness bound; shadow rays use
+    # index-order any-hit. Render-time `uncertain`/overflow counters tell
+    # when these are too small for a scene.
+    primary_pairs_per_ray: int = 24
+    shadow_pairs_per_ray: int = 24
 
     def resolved_traversal(self, triangle_count: int) -> str:
         if self.traversal != "auto":
@@ -881,12 +887,12 @@ def _sample_area_polygon_turk(vertex_count, verts_world, fan_areas, rnd):
     reached = (fan_areas[:, 1] >= target) & valid
     last = jnp.maximum(vertex_count - 3, 0)
     sel = jnp.where(jnp.any(reached), jnp.argmax(reached), last)
-    prev_cum = jnp.where(sel > 0, fan_areas[jnp.maximum(sel - 1, 0), 1], 0.0)
+    prev_cum = pick_lane(fan_areas[:, 1], sel - 1)  # 0 when sel == 0
     sub_area = target - prev_cum
-    tri_area = fan_areas[sel, 0]
-    v0 = verts_world[sel + 1]
+    tri_area = pick_lane(fan_areas[:, 0], sel)
+    v0 = pick_lane(verts_world, sel + 1)
     v1 = verts_world[0]
-    v2 = verts_world[sel + 2]
+    v2 = pick_lane(verts_world, sel + 2)
     r0 = sub_area / jnp.where(tri_area != 0.0, tri_area, 1.0)
     sqrt_r0 = jnp.sqrt(jnp.maximum(r0, 0.0))
     b0 = 1.0 - sqrt_r0

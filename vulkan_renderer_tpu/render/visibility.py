@@ -71,31 +71,65 @@ def trace_primary_bruteforce(triangle_positions, ray_origin, ray_dirs,
     return best_idx, best_t
 
 
-def make_bruteforce_occlusion(triangle_positions, chunk: int = 128):
-    """Any-hit occlusion test factory for shadow rays (reference semantics:
-    terminate on first hit, t range [1e-3, max_t - 1e-3ish], opaque).
-    Returns occlusion(origin (3,), dir (3,), max_t ()) -> bool, unbatched
-    (vmap-friendly)."""
-    tri_count = triangle_positions.shape[0]
-    pad = (-tri_count) % chunk
-    tris = triangle_positions
-    if pad:
-        tris = jnp.concatenate([tris, jnp.zeros((pad, 3, 3), tris.dtype)])
-    v0 = tris[:, 0]
-    e1 = tris[:, 1] - v0
-    e2 = tris[:, 2] - v0
+def trace_anyhit_bruteforce(triangle_positions, origins, dirs, t_max,
+                            t_min: float = 1.0e-3, tri_chunk: int = 512,
+                            ray_chunk: int = 8192):
+    """Batched any-hit occlusion: every ray against every triangle
+    (reference semantics: opaque, t range [t_min, max_t]).
 
-    def occlusion(origin, direction, max_t):
-        pvec = jnp.cross(direction[None, :], e2)
-        det = jnp.sum(e1 * pvec, axis=-1)
-        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-        tvec = origin[None, :] - v0
-        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-        qvec = jnp.cross(tvec, e1)
-        v = jnp.sum(direction[None, :] * qvec, axis=-1) * inv_det
-        t = jnp.sum(e2 * qvec, axis=-1) * inv_det
-        hit = (jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0) \
-            & (u + v <= 1.0) & (t >= 1.0e-3) & (t <= max_t)
-        return jnp.any(hit)
+    origins/dirs: (R, 3); t_max: (R,). Returns occluded bool (R,).
+    Doubly chunked (rays x triangles) so the working set stays bounded at
+    any megabatch size; the math is written componentwise on (rays, tris)
+    planes so every op is fully lane-tiled."""
+    tris = jnp.asarray(triangle_positions, jnp.float32)
+    pad_t = (-tris.shape[0]) % tri_chunk
+    if pad_t:
+        tris = jnp.concatenate([tris, jnp.zeros((pad_t, 3, 3), tris.dtype)])
+    comp = []
+    for arr in (tris[:, 0], tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0]):
+        for c in range(3):
+            comp.append(arr[:, c].reshape(-1, tri_chunk))
+    planes = jnp.stack(comp, axis=1)  # (n_tri_chunks, 9, tri_chunk)
 
-    return occlusion
+    r = dirs.shape[0]
+    pad_r = (-r) % ray_chunk
+    if pad_r:
+        z3 = jnp.zeros((pad_r, 3), jnp.float32)
+        origins = jnp.concatenate([origins, z3])
+        dirs = jnp.concatenate([dirs, z3])
+        t_max = jnp.concatenate([t_max, jnp.full((pad_r,), -1.0)])
+    o_c = origins.reshape(-1, ray_chunk, 3)
+    d_c = dirs.reshape(-1, ray_chunk, 3)
+    tm_c = t_max.reshape(-1, ray_chunk)
+
+    def ray_body(_, args):
+        o, d, tm = args
+        ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+        dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+
+        def tri_body(occ, p):
+            v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = (
+                p[i][None, :] for i in range(9))
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            ok = jnp.abs(det) > 1e-12
+            inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+            tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv
+            hit = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) \
+                & (t >= t_min) & (t <= tm[:, None])
+            return occ | jnp.any(hit, axis=1), None
+
+        occ, _ = jax.lax.scan(tri_body,
+                              jnp.zeros(o.shape[0], jnp.bool_), planes)
+        return None, occ
+
+    _, occluded = jax.lax.scan(ray_body, None, (o_c, d_c, tm_c))
+    return occluded.reshape(-1)[:r]

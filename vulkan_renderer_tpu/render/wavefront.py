@@ -39,11 +39,21 @@ _ROW_CHUNK = 16384
 
 
 class Clusters(NamedTuple):
+    """Triangle data is stored structure-of-arrays: ONE (K, 9*C) matrix
+    holding the [v0.x v0.y v0.z e1.x .. e2.z] component planes of each
+    cluster's C triangles side by side.
+
+    Two TPU constraints shape this layout:
+    - the intersect math must run on fully lane-tiled 2-D planes (an
+      (..., 3) vector layout wastes 125/128 lanes, ~20x slower);
+    - per-(ray, cluster) triangle fetches must NOT be XLA gathers: gather
+      row throughput on TPU is so low it dominates the tracer. A one-hot
+      (rows, K) @ (K, 9C) matmul does the same selection on the MXU at
+      full rate and is bit-exact (exactly one nonzero product per output,
+      scaled by 1.0)."""
     aabb_lo: jnp.ndarray  # (K, 3)
     aabb_hi: jnp.ndarray  # (K, 3)
-    tri_v0: jnp.ndarray   # (K, C, 3)
-    tri_e1: jnp.ndarray   # (K, C, 3)
-    tri_e2: jnp.ndarray   # (K, C, 3)
+    planes: jnp.ndarray   # (K, 9*C) triangle component planes (f32)
 
     @property
     def cluster_count(self) -> int:
@@ -51,7 +61,7 @@ class Clusters(NamedTuple):
 
     @property
     def cluster_size(self) -> int:
-        return self.tri_v0.shape[1]
+        return self.planes.shape[1] // 9
 
 
 def build_clusters(triangle_positions: np.ndarray,
@@ -74,8 +84,13 @@ def build_clusters(triangle_positions: np.ndarray,
     v0 = tris[:, 0].reshape(k, cluster_size, 3)
     e1 = (tris[:, 1] - tris[:, 0]).reshape(k, cluster_size, 3)
     e2 = (tris[:, 2] - tris[:, 0]).reshape(k, cluster_size, 3)
+    # (K, 9*C): [v0x v0y v0z e1x e1y e1z e2x e2y e2z] planes side by side.
+    planes = np.concatenate(
+        [v0[:, :, 0], v0[:, :, 1], v0[:, :, 2],
+         e1[:, :, 0], e1[:, :, 1], e1[:, :, 2],
+         e2[:, :, 0], e2[:, :, 1], e2[:, :, 2]], axis=1)
     return Clusters(jnp.asarray(aabb_lo), jnp.asarray(aabb_hi),
-                    jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2))
+                    jnp.asarray(np.ascontiguousarray(planes)))
 
 
 def _slab_mask(lo, hi, origins, dirs, t_max):
@@ -131,92 +146,159 @@ def _chunk_rows(arrays, row_chunk: int):
     return out, r
 
 
-def _pair_intersect(clusters: Clusters, o, d, cluster_idx, valid, t_min):
-    """Rows: o/d (N, 3); cluster_idx/valid (N, ppr).
-    Returns per-row (t (N, ppr, C), hit (N, ppr, C), prim (N, ppr, C))."""
-    v0 = clusters.tri_v0[cluster_idx]  # (N, ppr, C, 3) block row reads
-    e1 = clusters.tri_e1[cluster_idx]
-    e2 = clusters.tri_e2[cluster_idx]
-    d_b = d[:, None, None, :]
-    o_b = o[:, None, None, :]
-    pvec = jnp.cross(d_b, e2)
-    det = jnp.sum(e1 * pvec, axis=-1)
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    tvec = o_b - v0
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = jnp.sum(d_b * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
-    hit = (jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0) \
-        & (u + v <= 1.0) & (t >= t_min) & valid[:, :, None]
-    c = clusters.cluster_size
-    prim = cluster_idx[:, :, None] * c + jnp.arange(c)[None, None, :]
+def _compact_clusters(clusters: Clusters, mask, budget: int):
+    """Union of hit clusters across the chunk's rays, compacted to at most
+    `budget` planes rows. Returns (planes_m (M, 9C), m_ids (M,)). The tiny
+    M-row gather replaces a per-pair gather over the full cluster table."""
+    k = clusters.cluster_count
+    union = jnp.any(mask, axis=0)
+    score = jnp.where(union, k - jnp.arange(k, dtype=jnp.int32), 0)
+    _, m_ids = jax.lax.top_k(score, min(budget, k))
+    return clusters.planes[m_ids], m_ids.astype(jnp.int32)
+
+
+def _localize(cluster_idx, valid, m_ids):
+    """Map global cluster ids onto compacted rows. Pairs whose cluster was
+    dropped by the budget become invalid; the caller accounts them."""
+    eq = cluster_idx[:, :, None] == m_ids[None, None, :]
+    found = jnp.any(eq, axis=-1)
+    local = jnp.argmax(eq, axis=-1).astype(jnp.int32)
+    return local, valid & found, valid & ~found
+
+
+def _pair_intersect(planes_m, cluster_size: int, o, d,
+                    local_idx, global_idx, valid, t_min):
+    """Rows: o/d (N, 3); local/global_idx/valid (N, ppr); planes_m (M, 9C).
+
+    Returns (t, hit, prim), each (N, ppr*C). Moeller-Trumbore written out
+    componentwise over (N, ppr*C) planes: every op is elementwise on a
+    fully lane-tiled 2-D array (the (..., 3)-vector form wastes 125/128
+    lanes and is ~20x slower on TPU)."""
+    n, ppr = local_idx.shape
+    c = cluster_size
+    m = planes_m.shape[0]
+
+    # One-hot matmul instead of a gather: selects each pair's cluster row
+    # of all 9 component planes in one MXU pass (exact: one nonzero
+    # 1.0 * x product per output). precision=HIGHEST is REQUIRED: the TPU
+    # default runs f32 matmuls in bf16 passes, which would round the
+    # selected coordinates (phantom self-intersections at t ~ coord * 2^-8).
+    onehot = (local_idx.reshape(-1)[:, None]
+              == jnp.arange(m, dtype=local_idx.dtype)[None, :]) \
+        .astype(planes_m.dtype)
+    rows = jnp.matmul(onehot, planes_m,
+                      precision=jax.lax.Precision.HIGHEST)  # (n*ppr, 9*C)
+    rows = rows.reshape(n, ppr, 9, c)
+
+    def g(i):
+        return rows[:, :, i, :].reshape(n, ppr * c)
+
+    v0x, v0y, v0z = g(0), g(1), g(2)
+    e1x, e1y, e1z = g(3), g(4), g(5)
+    e2x, e2y, e2z = g(6), g(7), g(8)
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]          # (N, 1) broadcast
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
+
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    det_ok = jnp.abs(det) > 1e-12
+    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    valid_flat = jnp.repeat(valid, c, axis=1)
+    hit = det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) \
+        & (t >= t_min) & valid_flat
+    prim = (global_idx[:, :, None] * c
+            + jnp.arange(c)[None, None, :]).reshape(n, ppr * c)
     return t, hit, prim
 
 
 def trace_closest(clusters: Clusters, origins, dirs, pairs_per_ray: int = 16,
-                  t_min: float = 1.0e-3):
+                  t_min: float = 1.0e-3, chunk_cluster_budget: int = 128):
     """Closest hit for R rays. origins: (R,3) or (3,); dirs: (R,3).
 
     Returns (prim uint32 (R,), t (R,), overflow ()) — overflow counts
     ray/cluster pairs dropped because pairs_per_ray was too small (0 in
     healthy runs)."""
     origins = jnp.broadcast_to(origins, dirs.shape)
-    mask, t_near = _slab_mask(clusters.aabb_lo, clusters.aabb_hi, origins,
-                              dirs, jnp.inf)
     ppr = min(pairs_per_ray, clusters.cluster_count)
-    if ppr < clusters.cluster_count:
-        cluster_idx, valid, t_bound = _cull_topk_nearest(mask, t_near, ppr)
-    else:
-        cluster_idx, valid, _ = _cull_topk(mask, ppr)
-        t_bound = jnp.full(dirs.shape[:1], jnp.inf)
+    exhaustive = ppr >= clusters.cluster_count
 
+    # The cull runs INSIDE the row-chunk scan: a frame-wide (R, K) slab +
+    # top_k materializes multi-GB intermediates at megabatch sizes; per
+    # chunk the whole cull+intersect working set stays in the low MBs.
     row_chunk = min(_ROW_CHUNK, dirs.shape[0])
-    (o_c, d_c, ci_c, va_c), r = _chunk_rows(
-        [origins, dirs, cluster_idx, valid], row_chunk)
+    rows_live = jnp.ones(dirs.shape[:1], jnp.bool_)
+    (o_c, d_c, live_c), r = _chunk_rows([origins, dirs, rows_live], row_chunk)
 
     def body(_, args):
-        o, d, ci, va = args
-        t, hit, prim = _pair_intersect(clusters, o, d, ci, va, t_min)
-        t = jnp.where(hit, t, jnp.inf).reshape(t.shape[0], -1)
-        prim = prim.reshape(t.shape[0], -1)
+        o, d, live = args
+        mask, t_near = _slab_mask(clusters.aabb_lo, clusters.aabb_hi, o, d,
+                                  jnp.inf)
+        if exhaustive:
+            ci, va, _ = _cull_topk(mask, ppr)
+            t_bound = jnp.full(o.shape[:1], jnp.inf)
+        else:
+            ci, va, t_bound = _cull_topk_nearest(mask, t_near, ppr)
+        planes_m, m_ids = _compact_clusters(clusters, mask,
+                                            chunk_cluster_budget)
+        local, va, lost = _localize(ci, va, m_ids)
+        t, hit, prim = _pair_intersect(planes_m, clusters.cluster_size,
+                                       o, d, local, ci, va, t_min)
+        t = jnp.where(hit, t, jnp.inf)
         best = jnp.argmin(t, axis=1)
         t_best = jnp.take_along_axis(t, best[:, None], axis=1)[:, 0]
         prim_best = jnp.take_along_axis(prim, best[:, None], axis=1)[:, 0]
         prim_best = jnp.where(jnp.isfinite(t_best),
                               prim_best.astype(jnp.uint32), INVALID)
-        return None, (t_best, prim_best)
+        # A result is provably exact when the winning t precedes the first
+        # dropped cluster AND no candidate pair was lost to the chunk's
+        # compaction budget; "uncertain" counts rays without that guarantee
+        # (padded rows excluded).
+        uncertain = live & ((jnp.isfinite(t_bound) & (t_best > t_bound))
+                            | jnp.any(lost, axis=1))
+        return None, (t_best, prim_best, jnp.sum(uncertain, dtype=jnp.int32))
 
-    _, (t_out, prim_out) = jax.lax.scan(body, None, (o_c, d_c, ci_c, va_c))
+    _, (t_out, prim_out, unc) = jax.lax.scan(body, None, (o_c, d_c, live_c))
     t_out = t_out.reshape(-1)[:r]
     prim_out = prim_out.reshape(-1)[:r]
-    # A result is provably exact when the winning t precedes the first
-    # dropped cluster; "overflow" counts rays without that guarantee.
-    uncertain = jnp.isfinite(t_bound) & (t_out > t_bound)
-    return prim_out, t_out, jnp.sum(uncertain, dtype=jnp.int32)
+    return prim_out, t_out, jnp.sum(unc)
 
 
 def trace_anyhit(clusters: Clusters, origins, dirs, t_max,
-                 pairs_per_ray: int = 8, t_min: float = 1.0e-3):
+                 pairs_per_ray: int = 8, t_min: float = 1.0e-3,
+                 chunk_cluster_budget: int = 128):
     """Any-hit (shadow) test for R rays with per-ray t ranges.
 
     Returns (occluded bool (R,), overflow ())."""
     origins = jnp.broadcast_to(origins, dirs.shape)
     t_max = jnp.broadcast_to(jnp.asarray(t_max), dirs.shape[:1])
-    mask, _ = _slab_mask(clusters.aabb_lo, clusters.aabb_hi, origins, dirs,
-                         t_max)
-    cluster_idx, valid, overflow = _cull_topk(
-        mask, min(pairs_per_ray, clusters.cluster_count))
+    ppr = min(pairs_per_ray, clusters.cluster_count)
 
+    # Cull inside the chunk scan (see trace_closest): keeps the (rows, K)
+    # slab/top_k working set at chunk size instead of megabatch size.
     row_chunk = min(_ROW_CHUNK, dirs.shape[0])
-    (o_c, d_c, tm_c, ci_c, va_c), r = _chunk_rows(
-        [origins, dirs, t_max, cluster_idx, valid], row_chunk)
+    (o_c, d_c, tm_c), r = _chunk_rows([origins, dirs, t_max], row_chunk)
 
     def body(_, args):
-        o, d, tm, ci, va = args
-        t, hit, _ = _pair_intersect(clusters, o, d, ci, va, t_min)
-        hit = hit & (t <= tm[:, None, None])
-        return None, jnp.any(hit, axis=(1, 2))
+        o, d, tm = args
+        mask, _ = _slab_mask(clusters.aabb_lo, clusters.aabb_hi, o, d, tm)
+        ci, va, overflow = _cull_topk(mask, ppr)
+        planes_m, m_ids = _compact_clusters(clusters, mask,
+                                            chunk_cluster_budget)
+        local, va, lost = _localize(ci, va, m_ids)
+        overflow = overflow + jnp.sum(lost, dtype=jnp.int32)
+        t, hit, _ = _pair_intersect(planes_m, clusters.cluster_size,
+                                    o, d, local, ci, va, t_min)
+        hit = hit & (t <= tm[:, None])
+        return None, (jnp.any(hit, axis=1), overflow)
 
-    _, occluded = jax.lax.scan(body, None, (o_c, d_c, tm_c, ci_c, va_c))
-    return occluded.reshape(-1)[:r], overflow
+    _, (occluded, ovf) = jax.lax.scan(body, None, (o_c, d_c, tm_c))
+    return occluded.reshape(-1)[:r], jnp.sum(ovf)
