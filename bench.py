@@ -59,7 +59,7 @@ def main():
                        lights)
     static = SceneStatic(light_count=len(lights),
                          light_texturing=tuple(0 for _ in lights),
-                         use_bvh=True)
+                         traversal="wavefront")
     camera = FirstPersonCamera(
         position_world_space=np.array([0.0, 0.0, 2.0], np.float32),
         rotation_x=0.55 * np.pi, rotation_z=0.5 * np.pi)
@@ -74,8 +74,15 @@ def main():
 
     # NOTE: np.asarray (device->host transfer) is the sync point; plain
     # block_until_ready does not reliably block through the axon relay.
-    img = np.asarray(render_frame_jit(scene, static, settings, constants,
-                                      args.width, args.height))
+    img, stats = render_frame_jit(scene, static, settings, constants,
+                                  args.width, args.height, with_stats=True)
+    img = np.asarray(img)
+    uncertain = int(stats.primary_uncertain)
+    overflow = int(stats.shadow_overflow)
+    # Second warmup under the stats-free jit key so the timed loop never
+    # measures a compile.
+    np.asarray(render_frame_jit(scene, static, settings, constants,
+                                args.width, args.height))
     times = []
     for _ in range(args.frames):
         t0 = time.perf_counter()
@@ -88,10 +95,13 @@ def main():
     # across bench resolutions.
     scale = (1920 * 1080) / (args.width * args.height)
     ms_1080p = ms * scale
+    tri_count = int(scene.triangle_positions.shape[0])
     print(json.dumps({
         "metric": f"ms/frame {args.width}x{args.height} {args.spp}spp "
-                  f"shadows={not args.no_shadows} city "
-                  f"(scaled to 1080p: {round(ms_1080p, 1)} ms)",
+                  f"shadows={not args.no_shadows} {args.scene} "
+                  f"({tri_count} tris, uncertain={uncertain}, "
+                  f"overflow={overflow}; scaled to 1080p: "
+                  f"{round(ms_1080p, 1)} ms)",
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(ms_1080p / 20.0, 4),

@@ -62,7 +62,7 @@ def test_occlusion_matches_bruteforce(rng):
 
 
 def test_bvh_cornell_render_matches_bruteforce(rng):
-    """Full-frame render with use_bvh must match the brute force path."""
+    """Full-frame renders with forced traversal backends must agree."""
     import tempfile
 
     from vulkan_renderer_tpu.core.settings import (PolygonSamplingTechnique,
@@ -93,9 +93,9 @@ def test_bvh_cornell_render_matches_bruteforce(rng):
         output_linear_rgb=True)
     rnd = np.array([12, 34, 56, 78], np.uint32)
     img_bf = np.asarray(render_frame(
-        scene, SceneStatic(1, (0,), use_bvh=False), cam, settings, 16, 16,
-        noise_random_numbers=rnd))
+        scene, SceneStatic(1, (0,), traversal="bruteforce"), cam, settings,
+        16, 16, noise_random_numbers=rnd))
     img_bvh = np.asarray(render_frame(
-        scene, SceneStatic(1, (0,), use_bvh=True), cam, settings, 16, 16,
-        noise_random_numbers=rnd))
+        scene, SceneStatic(1, (0,), traversal="wavefront"), cam, settings,
+        16, 16, noise_random_numbers=rnd))
     np.testing.assert_allclose(img_bvh, img_bf, atol=1e-5)

@@ -201,3 +201,35 @@ def test_all_13_techniques_run_and_agree(cornell):
     for tech in unbiased:
         assert means[tech] == pytest.approx(base, rel=0.15), (tech, means[tech],
                                                               base)
+
+
+def test_frame_stats_report_overflow(cornell):
+    """A starved shadow-ray cluster budget must be REPORTED, not silent
+    (VERDICT r1: counters were computed then discarded). Forces the
+    wavefront path with pairs_per_ray=1 on the cornell box and checks the
+    with_stats output; the healthy-budget run must report zero."""
+    from vulkan_renderer_tpu.render.pipeline import (make_frame_constants,
+                                                     render_frame_jit)
+    from vulkan_renderer_tpu.render.wavefront import build_clusters
+    scene, static, cam = cornell
+    # The cornell box fits one default cluster; re-cluster tiny so a
+    # 1-pair budget genuinely starves.
+    scene = scene._replace(clusters=build_clusters(
+        np.asarray(scene.triangle_positions), cluster_size=4))
+    settings = RenderSettings(output_linear_rgb=True, animate_noise=False,
+                              sample_count=4, trace_shadow_rays=True)
+    constants = make_frame_constants(cam, RES, RES, settings, RND)
+    starved = SceneStatic(light_count=1, light_texturing=(0,),
+                          traversal="wavefront", primary_pairs_per_ray=1,
+                          shadow_pairs_per_ray=1)
+    img, stats = render_frame_jit(scene, starved, settings, constants,
+                                  RES, RES, with_stats=True)
+    assert np.isfinite(np.asarray(img)).all()
+    assert int(stats.primary_uncertain) + int(stats.shadow_overflow) > 0
+
+    healthy = SceneStatic(light_count=1, light_texturing=(0,),
+                          traversal="wavefront")
+    img2, stats2 = render_frame_jit(scene, healthy, settings, constants,
+                                    RES, RES, with_stats=True)
+    assert int(stats2.primary_uncertain) == 0
+    assert int(stats2.shadow_overflow) == 0

@@ -146,13 +146,31 @@ def default_ltc_table() -> LtcTable:
     global _DEFAULT_CACHE
     if _DEFAULT_CACHE is not None:
         return _DEFAULT_CACHE
+    import warnings
     for directory, count in (("data/ltc_fits", 51),
-                             (os.path.abspath(_BUILTIN_DIRECTORY), 8)):
+                             (os.path.abspath(_BUILTIN_DIRECTORY), 51)):
         if os.path.exists(os.path.join(directory, "fit0.dat")):
+            # Accept a truncated fit set (count existing files) rather than
+            # silently discarding the directory.
+            available = sum(
+                os.path.exists(os.path.join(directory, f"fit{i}.dat"))
+                for i in range(count))
             try:
-                _DEFAULT_CACHE = load_ltc_table_files(directory, count)
+                _DEFAULT_CACHE = load_ltc_table_files(directory, available)
+                if available < count:
+                    warnings.warn(
+                        f"LTC table at {directory} has only {available} of "
+                        f"{count} Fresnel fit levels (reference: "
+                        "ltc_table.c:31-47 expects 51); specular MIS "
+                        "weights will be coarser.", stacklevel=2)
                 return _DEFAULT_CACHE
-            except Exception:
-                pass
+            except Exception as exc:
+                warnings.warn(
+                    f"failed to load LTC fits from {directory}: {exc!r} — "
+                    "trying next source", stacklevel=2)
+    warnings.warn(
+        "no LTC fit tables found — FALLING BACK TO THE IDENTITY LTC TABLE "
+        "(specular sampling degenerates to cosine sampling). Run "
+        "tools/fit_ltc.py to generate tables.", stacklevel=2)
     _DEFAULT_CACHE = identity_ltc_table()
     return _DEFAULT_CACHE

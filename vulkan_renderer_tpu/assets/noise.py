@@ -42,6 +42,9 @@ class NoiseTable(NamedTuple):
     noise_type: str
     resolution_mask: np.ndarray  # (2,) uint32 (W-1, H-1)
     texture_index_mask: np.ndarray  # () uint32 (layers-1)
+    # True when the requested type's blob was missing and white noise was
+    # substituted; callers must surface this (output tagging, warnings).
+    fallback: bool = False
 
 
 INITIAL_RANDOM_SEED = 3124705  # noise_table.c:47
@@ -53,6 +56,7 @@ def load_noise_table(noise_type: NoiseType, data_directory: str = "data",
         resolution = default_noise_resolution(noise_type)
     width, height, layers = resolution
     cell_count = width * height * layers * 4
+    fallback = False
     if noise_type == NoiseType.WHITE:
         data = (wang_hash_np(np.arange(cell_count, dtype=np.uint32)
                              + np.uint32(243708))
@@ -79,16 +83,25 @@ def load_noise_table(noise_type: NoiseType, data_directory: str = "data",
         if os.path.exists(path):
             data = np.fromfile(path, np.uint16, cell_count)
         else:
-            # Fallback: white noise keeps every setting runnable.
+            # Fallback: white noise keeps every setting runnable, but it is
+            # a visible quality regression — warn LOUDLY and flag it.
+            import warnings
+            warnings.warn(
+                f"noise table '{name}' not found under {data_directory}/noise"
+                " or the packaged data_builtin/noise — FALLING BACK TO WHITE"
+                " NOISE (visibly worse sample distribution). Generate blobs"
+                " with tools/generate_noise.py.", stacklevel=2)
             data = (wang_hash_np(np.arange(cell_count, dtype=np.uint32)
                                  + np.uint32(243708))
                     & np.uint32(0xFFFF)).astype(np.uint16)
+            fallback = True
     table = data.reshape(layers, height, width, 4)
     return NoiseTable(
         table=table,
         noise_type=noise_type.value,
         resolution_mask=np.array([width - 1, height - 1], np.uint32),
         texture_index_mask=np.uint32(layers - 1),
+        fallback=fallback,
     )
 
 

@@ -122,7 +122,8 @@ class Application:
             light_count=len(self.scene_spec.lights),
             light_texturing=tuple(
                 spec.texturing_technique for spec in self.scene_spec.lights),
-            use_bvh=self.scene.triangle_positions.shape[0] > 4096,
+            traversal="wavefront"
+            if self.scene.triangle_positions.shape[0] > 4096 else "auto",
         )
 
     def _rebuild_scene_noise(self) -> None:

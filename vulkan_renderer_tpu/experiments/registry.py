@@ -19,6 +19,10 @@ class SceneEntry:
     texture_dir: str
     quicksave_path: str
     procedural: str | None = None  # stand-in generator name
+    # Set on RESOLVED entries when the real scene asset was missing and a
+    # procedural stand-in was materialized. Harness output filenames must
+    # carry this tag so no figure claims to show content it does not.
+    stand_in: bool = False
 
 
 SCENES = {
@@ -60,7 +64,15 @@ def resolve_scene(key: str, data_directory: str = "data") -> SceneEntry:
     .vks is absent."""
     entry = SCENES[key]
     vks = os.path.join(data_directory, os.path.basename(entry.vks_path))
+    stand_in = False
     if not os.path.exists(vks) and entry.procedural:
+        import warnings
+        warnings.warn(
+            f"scene asset '{vks}' is missing — materializing the procedural"
+            f" stand-in '{entry.procedural}' INSTEAD OF the real"
+            f" {entry.name} content. Outputs will be tagged 'standin'.",
+            stacklevel=2)
+        stand_in = True
         from ..tools.export_scene import write_test_scene
         from ..tools.city import write_city_scene
         os.makedirs(data_directory, exist_ok=True)
@@ -89,4 +101,5 @@ def resolve_scene(key: str, data_directory: str = "data") -> SceneEntry:
         quicksave_path=os.path.join(
             data_directory, "quicksaves",
             os.path.basename(entry.quicksave_path)),
-        procedural=entry.procedural)
+        procedural=entry.procedural,
+        stand_in=stand_in)

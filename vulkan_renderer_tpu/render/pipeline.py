@@ -35,6 +35,19 @@ from .bvh import make_bvh_closest_hit, make_bvh_occlusion
 from .visibility import trace_anyhit_bruteforce, trace_primary_bruteforce
 from .wavefront import trace_anyhit, trace_closest
 
+from typing import NamedTuple
+
+
+class FrameStats(NamedTuple):
+    """Exactness counters from the wavefront tracer (0 in healthy runs).
+
+    primary_uncertain: primary rays whose closest hit lacks the front-to-
+    back exactness guarantee (cluster budget too small for this view).
+    shadow_overflow: shadow ray/cluster pairs dropped by the any-hit
+    budget — a nonzero value means some shadows may be missing."""
+    primary_uncertain: jnp.ndarray  # () int32
+    shadow_overflow: jnp.ndarray    # () int32
+
 
 def make_frame_constants(camera: FirstPersonCamera, width: int, height: int,
                          settings: RenderSettings,
@@ -135,11 +148,13 @@ def _postprocess(color, settings: RenderSettings):
 
 
 @functools.partial(jax.jit, static_argnames=("static", "settings", "width",
-                                             "height"))
+                                             "height", "with_stats"))
 def render_frame_jit(scene: Scene, static: SceneStatic,
                      settings: RenderSettings, constants: FrameConstants,
-                     width: int, height: int):
+                     width: int, height: int, with_stats: bool = False):
     """Render one frame: (H, W, 3) float32 in output color space.
+    With with_stats=True returns (image, FrameStats) so callers can check
+    the tracer's exactness counters instead of silently trusting budgets.
 
     Structure: visibility (rays -> primitive ids), per-pixel shading with
     deferred shadow-ray collection, ONE batched wavefront/BVH shadow trace
@@ -154,10 +169,12 @@ def render_frame_jit(scene: Scene, static: SceneStatic,
     ray_dirs = (jnp.concatenate([pixels_f, jnp.ones_like(pixels_f[:, :1])],
                                 axis=-1) @ constants.pixel_to_ray.T)
 
+    primary_uncertain = jnp.int32(0)
+    shadow_overflow = jnp.int32(0)
     traversal = static.resolved_traversal(
         int(scene.triangle_positions.shape[0]))
     if traversal == "wavefront":
-        primitive_index, _, _ = trace_closest(
+        primitive_index, _, primary_uncertain = trace_closest(
             scene.clusters, constants.camera_position, ray_dirs,
             pairs_per_ray=static.primary_pairs_per_ray)
     elif traversal == "bvh":
@@ -198,9 +215,9 @@ def render_frame_jit(scene: Scene, static: SceneStatic,
         live = jnp.any(b.transpose(1, 0, 2).reshape(-1, 3) != 0.0, axis=-1)
         flat_tmax = jnp.where(live, flat_tmax, -1.0)
         if traversal == "wavefront":
-            occluded, _ = trace_anyhit(scene.clusters, flat_origins,
-                                       flat_dirs, flat_tmax,
-                                       pairs_per_ray=static.shadow_pairs_per_ray)
+            occluded, shadow_overflow = trace_anyhit(
+                scene.clusters, flat_origins, flat_dirs, flat_tmax,
+                pairs_per_ray=static.shadow_pairs_per_ray)
         elif traversal == "bvh":
             occl = make_bvh_occlusion(scene.bvh)
             occluded = jax.vmap(occl)(flat_origins, flat_dirs, flat_tmax)
@@ -219,7 +236,10 @@ def render_frame_jit(scene: Scene, static: SceneStatic,
                        constants.exposure_factor, colors)
     colors = colors * constants.exposure_factor
     colors = _postprocess(colors, settings)
-    return colors.reshape(height, width, 3)
+    image = colors.reshape(height, width, 3)
+    if with_stats:
+        return image, FrameStats(primary_uncertain, shadow_overflow)
+    return image
 
 
 def render_frame(scene: Scene, static: SceneStatic, camera: FirstPersonCamera,

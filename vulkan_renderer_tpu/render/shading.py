@@ -56,9 +56,8 @@ class SceneStatic:
     linear_light_count: int = 0
     max_light_vertex_count: int = MAXV - 1
     # Traversal backend: "auto" resolves to wavefront for large scenes and
-    # brute force for small ones; "bvh" selects the threaded-BVH path
-    # (static -> jit specialization). use_bvh is a legacy alias.
-    use_bvh: bool = False
+    # brute force for small ones; "wavefront"/"bvh"/"bruteforce" force a
+    # specific path (static -> jit specialization).
     traversal: str = "auto"
     # Wavefront cluster budgets (clusters tested per ray). Primary rays use
     # nearest-first culling with an exactness bound; shadow rays use
@@ -70,7 +69,7 @@ class SceneStatic:
     def resolved_traversal(self, triangle_count: int) -> str:
         if self.traversal != "auto":
             return self.traversal
-        if self.use_bvh or triangle_count > 4096:
+        if triangle_count > 4096:
             return "wavefront"
         return "bruteforce"
 
