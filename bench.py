@@ -59,6 +59,8 @@ def main():
                        lights)
     static = SceneStatic(light_count=len(lights),
                          light_texturing=tuple(0 for _ in lights),
+                         light_vertex_counts=tuple(
+                             l.vertex_count for l in lights),
                          traversal="wavefront")
     camera = FirstPersonCamera(
         position_world_space=np.array([0.0, 0.0, 2.0], np.float32),

@@ -1,0 +1,325 @@
+"""Agreement tests: the fused SoA shading path (render/fused.py +
+ops/soa.py) must match the vmapped per-pixel reference implementations.
+"""
+
+import functools
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vulkan_renderer_tpu.core.settings import (MisHeuristic,
+                                               PolygonSamplingTechnique,
+                                               RenderSettings,
+                                               SamplingStrategy)
+from vulkan_renderer_tpu.ops import soa
+from vulkan_renderer_tpu.ops.brdf import ShadingData
+from vulkan_renderer_tpu.ops.clipping import clip_polygon
+from vulkan_renderer_tpu.ops import sampling
+from vulkan_renderer_tpu.ops.ltc import LtcTable, get_ltc_coefficients, \
+    make_ltc_constants
+from vulkan_renderer_tpu.render import fused
+from vulkan_renderer_tpu.render.shading import (
+    SceneStatic, FrameConstants, evaluate_polygonal_light_shading,
+    pairs_per_light)
+from vulkan_renderer_tpu.scene.lights import (PolygonalLightSpec,
+                                              stack_lights,
+                                              update_polygonal_light)
+
+MAXV = 8
+
+
+def _soa_from_rows(arr):
+    """(P, k) -> tuple of k (P,) planes."""
+    return tuple(arr[:, i] for i in range(arr.shape[1]))
+
+
+def _rows_from_soa(t):
+    return np.stack([np.asarray(c) for c in t], axis=-1)
+
+
+def test_clip_soa_matches_reference():
+    rng = np.random.RandomState(3)
+    for n in (3, 4, 5, 7):
+        verts = rng.randn(64, n, 3).astype(np.float32)
+        # Reference: per-pixel clip vmapped (pad to MAXV lanes).
+        padded = np.concatenate(
+            [verts, np.broadcast_to(verts[:, :1], (64, MAXV - n, 3))],
+            axis=1)
+        ref_v, ref_c = jax.vmap(lambda v: clip_polygon(v, n))(
+            jnp.asarray(padded))
+        got, got_c = soa.clip_soa(
+            [_soa_from_rows(verts[:, k]) for k in range(n)], n)
+        np.testing.assert_array_equal(np.asarray(got_c), np.asarray(ref_c))
+        for j in range(n + 1):
+            gj = _rows_from_soa(got[j])
+            rj = np.asarray(ref_v)[:, j]
+            mask = np.asarray(ref_c) > 0
+            np.testing.assert_allclose(gj[mask], rj[mask], atol=1e-6,
+                                       err_msg=f"n={n} lane {j}")
+
+
+def _random_clipped_polys(rng, count, n):
+    """Random planar CONVEX polygons (like real lights — at most two
+    horizon crossings, so the clip fits n+1 lanes) clipped to z >= 0 with
+    the reference pipeline."""
+    angles = np.sort(rng.rand(count, n) * 2 * np.pi, axis=1)
+    radii = 0.5 + rng.rand(count, 1)  # circle points: always convex
+    plane_pts = np.stack([np.cos(angles) * radii, np.sin(angles) * radii,
+                          np.zeros_like(angles)], axis=-1)
+    verts = np.empty((count, n, 3), np.float32)
+    for i in range(count):
+        q = np.linalg.qr(rng.randn(3, 3))[0]
+        if np.linalg.det(q) < 0:
+            q[:, 2] *= -1
+        verts[i] = plane_pts[i] @ q.T + rng.randn(3) * 0.5
+    verts = verts.astype(np.float32)
+    padded = np.concatenate(
+        [verts, np.broadcast_to(verts[:, :1], (count, MAXV - n, 3))], axis=1)
+    cv, cc = jax.vmap(lambda v: clip_polygon(v, n))(jnp.asarray(padded))
+    return verts, np.asarray(cv), np.asarray(cc)
+
+
+@pytest.mark.parametrize("biased", [False, True])
+@pytest.mark.parametrize("n", [3, 4, 5])
+def test_prepare_sample_psa_soa_matches_reference(n, biased):
+    rng = np.random.RandomState(n * 7 + int(biased))
+    p = 256
+    verts, cv, cc = _random_clipped_polys(rng, p, n)
+    ok = cc > 0
+
+    ref_prep = jax.vmap(functools.partial(
+        sampling.prepare_projected_solid_angle_polygon_sampling,
+        biased=biased))
+    poly_ref = ref_prep(jnp.asarray(cv), jnp.maximum(jnp.asarray(cc), 3))
+
+    m = n + 1
+    soa_verts = [_soa_from_rows(cv[:, k]) for k in range(m)]
+    poly = soa.prepare_psa_soa(soa_verts, jnp.asarray(cc), m, biased)
+
+    psa_ref = np.asarray(poly_ref.projected_solid_angle)
+    psa_soa = np.asarray(poly.psa)
+    np.testing.assert_allclose(psa_soa[ok], psa_ref[ok], rtol=2e-4,
+                               atol=1e-6)
+
+    rnd = rng.rand(p, 2).astype(np.float32)
+    d_ref = np.asarray(jax.vmap(functools.partial(
+        sampling.sample_projected_solid_angle_polygon, biased=biased))(
+        poly_ref, jnp.asarray(rnd)))
+    d_soa = _rows_from_soa(soa.sample_psa_soa(
+        poly, jnp.asarray(rnd[:, 0]), jnp.asarray(rnd[:, 1]), biased))
+    good = ok & (psa_ref > 1e-6) & np.isfinite(d_ref).all(axis=-1)
+    assert good.sum() > p // 4
+    np.testing.assert_allclose(d_soa[good], d_ref[good], atol=1e-3)
+
+
+def _make_ltc_table(rng):
+    f, i, r = 4, 8, 8
+    tab = rng.rand(f, i, r, 6).astype(np.float32) + 0.5
+    return LtcTable(table=jnp.asarray(tab),
+                    constants=make_ltc_constants(f, r, i))
+
+
+def _make_setup(rng, light_specs, p=192):
+    lights = stack_lights([update_polygonal_light(s) for s in light_specs])
+    position = rng.randn(p, 3).astype(np.float32)
+    normal = rng.randn(p, 3).astype(np.float32)
+    normal /= np.linalg.norm(normal, axis=-1, keepdims=True)
+    outgoing = rng.randn(p, 3).astype(np.float32) + normal
+    outgoing /= np.linalg.norm(outgoing, axis=-1, keepdims=True)
+    # Ensure outgoing is in the normal hemisphere.
+    lam = np.sum(normal * outgoing, axis=-1, keepdims=True)
+    outgoing = np.where(lam > 0.01, outgoing, normal)
+    data = ShadingData(
+        position=jnp.asarray(position),
+        normal=jnp.asarray(normal),
+        outgoing=jnp.asarray(outgoing),
+        lambert_outgoing=jnp.sum(jnp.asarray(normal * outgoing), axis=-1),
+        diffuse_albedo=jnp.asarray(rng.rand(p, 3).astype(np.float32)),
+        fresnel_0=jnp.asarray(
+            0.02 + 0.9 * rng.rand(p, 3).astype(np.float32)),
+        roughness=jnp.asarray(
+            (0.01 + 0.9 * rng.rand(p)).astype(np.float32)),
+    )
+    table = _make_ltc_table(rng)
+    fresnel_lum = jnp.sum(data.fresnel_0
+                          * jnp.asarray([0.2126, 0.7152, 0.0722]), axis=-1)
+    ltc = jax.vmap(functools.partial(get_ltc_coefficients, table))(
+        fresnel_lum, data.roughness, data.position, data.normal,
+        data.outgoing)
+    return lights, data, ltc
+
+
+def _reference_result(scene_like, static, settings, constants, data, ltc,
+                      noise_pairs, hit):
+    def per_px(data_px, ltc_px, pairs_px, hit_px):
+        ppl = pairs_per_light(settings)
+        base = jnp.zeros(3)
+        bs, ds, ts = [], [], []
+        for i in range(static.light_count):
+            res = evaluate_polygonal_light_shading(
+                scene_like, static, settings, constants, i, data_px, ltc_px,
+                pairs_px[i * ppl:(i + 1) * ppl])
+            base = base + jnp.where(hit_px, res.base, 0.0)
+            bs.append(jnp.where(hit_px, res.b, 0.0))
+            ds.append(res.ray_dirs)
+            ts.append(res.t_max)
+        return (base, jnp.concatenate(bs, 0), jnp.concatenate(ds, 0),
+                jnp.concatenate(ts, 0))
+
+    return jax.vmap(per_px)(data, ltc, noise_pairs, hit)
+
+
+@pytest.mark.parametrize("strategy,heuristic", [
+    (SamplingStrategy.DIFFUSE_ONLY, MisHeuristic.BALANCE),
+    (SamplingStrategy.DIFFUSE_SPECULAR_MIS, MisHeuristic.BALANCE),
+    (SamplingStrategy.DIFFUSE_SPECULAR_MIS, MisHeuristic.POWER),
+    (SamplingStrategy.DIFFUSE_SPECULAR_MIS, MisHeuristic.WEIGHTED),
+    (SamplingStrategy.DIFFUSE_SPECULAR_MIS, MisHeuristic.OPTIMAL_CLAMPED),
+    (SamplingStrategy.DIFFUSE_SPECULAR_MIS, MisHeuristic.OPTIMAL),
+])
+def test_fused_matches_reference(strategy, heuristic):
+    rng = np.random.RandomState(11)
+    specs = [
+        PolygonalLightSpec(
+            translation=np.array([0.5, -0.5, 2.0], np.float32),
+            rotation_angles=np.array([np.pi, 0, 0], np.float32),
+            scaling_x=0.8, scaling_y=0.6,
+            radiant_flux=np.array([9.0, 7.0, 5.0], np.float32)),
+        PolygonalLightSpec(
+            translation=np.array([-1.0, 1.0, 1.5], np.float32),
+            rotation_angles=np.array([2.5, 0.3, 0.1], np.float32),
+            scaling_x=0.5, scaling_y=0.5,
+            radiant_flux=np.array([4.0, 4.0, 6.0], np.float32),
+            vertices_plane_space=np.array(
+                [[-1, -1], [1, -1], [1.2, 0.4], [0, 1.1], [-1.3, 0.6]],
+                np.float32)),
+    ]
+    lights, data, ltc = _make_setup(rng, specs)
+    scene_like = types.SimpleNamespace(lights=lights, light_atlas=None)
+    static = SceneStatic(light_count=2, light_texturing=(0, 0),
+                         light_vertex_counts=(4, 5))
+    settings = RenderSettings(
+        sampling_strategy=strategy,
+        polygon_sampling_technique=(
+            PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE),
+        mis_heuristic=heuristic,
+        sample_count=2)
+    assert fused.fused_supported(static, settings)
+    constants = FrameConstants(
+        camera_position=jnp.zeros(3),
+        pixel_to_ray=jnp.eye(3),
+        exposure_factor=jnp.float32(1.0),
+        roughness_factor=jnp.float32(1.0),
+        mis_visibility_estimate=jnp.float32(0.5),
+        error_factor=jnp.float32(1.0),
+        noise_random_numbers=jnp.zeros(4, jnp.uint32))
+
+    p = data.position.shape[0]
+    total_pairs = pairs_per_light(settings) * static.light_count
+    noise_pairs = jnp.asarray(
+        rng.rand(p, total_pairs, 2).astype(np.float32))
+    hit = jnp.asarray(rng.rand(p) > 0.1)
+
+    base_r, b_r, d_r, t_r = _reference_result(
+        scene_like, static, settings, constants, data, ltc, noise_pairs,
+        hit)
+
+    ls = fused._pack_light_scalars(lights, 2)
+    base_f, b_f, d_f, t_f = fused.fused_light_shading_xla(
+        data, ltc, hit, noise_pairs, ls, constants.mis_visibility_estimate,
+        static, settings)
+
+    base_r, b_r, d_r, t_r = map(np.asarray, (base_r, b_r, d_r, t_r))
+    base_f, b_f, d_f, t_f = map(np.asarray, (base_f, b_f, d_f, t_f))
+
+    assert b_f.shape == b_r.shape, (b_f.shape, b_r.shape)
+    # Compare where the reference is finite (junk-pixel NaNs excluded by
+    # the hit gating on both sides).
+    fin = np.isfinite(b_r).all(axis=(1, 2)) & np.isfinite(base_r).all(-1)
+    assert fin.mean() > 0.9
+    scale = np.maximum(np.abs(b_r[fin]).max(), 1.0)
+    np.testing.assert_allclose(base_f[fin], base_r[fin], atol=2e-3 * scale,
+                               rtol=2e-3)
+    np.testing.assert_allclose(b_f[fin], b_r[fin], atol=2e-3 * scale,
+                               rtol=2e-3)
+    # Directions agree where the ray matters (weight nonzero).
+    live = (np.abs(b_r[fin]).sum(-1) > 1e-6)
+    np.testing.assert_allclose(d_f[fin][live], d_r[fin][live], atol=1e-3)
+    np.testing.assert_allclose(t_f[fin][live], t_r[fin][live], rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_pipeline_fused_matches_unfused():
+    """Full render_frame_jit: fused (interpret) vs vmapped path."""
+    import dataclasses
+    import tempfile
+
+    from vulkan_renderer_tpu.render.pipeline import render_frame
+    from vulkan_renderer_tpu.scene.camera import FirstPersonCamera
+    from vulkan_renderer_tpu.scene.scene import load_scene
+    from vulkan_renderer_tpu.tools.export_scene import write_test_scene
+
+    d = tempfile.mkdtemp(prefix="fused_e2e_")
+    vks = write_test_scene(d, "cornell_box", texture_resolution=16)
+    light = PolygonalLightSpec(
+        translation=np.array([1.0, 1.0, 1.99], np.float32),
+        rotation_angles=np.array([np.pi, 0, 0], np.float32),
+        scaling_x=0.4, scaling_y=0.4,
+        radiant_flux=np.array([40.0, 35.0, 30.0], np.float32))
+    scene = load_scene(vks, d + "/cornell_box_textures", [light])
+    camera = FirstPersonCamera(
+        position_world_space=np.array([1.0, 0.15, 1.0], np.float32),
+        rotation_x=np.pi / 2, rotation_z=np.pi)
+    settings = RenderSettings(
+        sampling_strategy=SamplingStrategy.DIFFUSE_SPECULAR_MIS,
+        polygon_sampling_technique=(
+            PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE),
+        sample_count=1, trace_shadow_rays=True)
+    base = SceneStatic(light_count=1, light_texturing=(0,),
+                       light_vertex_counts=(4,))
+    img_off = np.asarray(render_frame(
+        scene, dataclasses.replace(base, fused="off"), camera, settings,
+        16, 16))
+    img_on = np.asarray(render_frame(
+        scene, dataclasses.replace(base, fused="on"), camera, settings,
+        16, 16))
+    assert np.isfinite(img_on).all()
+    # 1-spp boundary pixels may flip a shadow/sector decision under the
+    # kernel's different FP summation order; require near-identity for
+    # the overwhelming majority and bounded error everywhere.
+    close = np.isclose(img_on, img_off, atol=2e-3)
+    assert close.mean() > 0.99, close.mean()
+    np.testing.assert_allclose(img_on, img_off, atol=5e-2)
+
+
+def test_fused_pallas_interpret_matches_xla():
+    rng = np.random.RandomState(5)
+    specs = [PolygonalLightSpec(
+        translation=np.array([0.0, 0.0, 2.0], np.float32),
+        rotation_angles=np.array([np.pi, 0, 0], np.float32),
+        scaling_x=0.7, scaling_y=0.7,
+        radiant_flux=np.array([5.0, 5.0, 5.0], np.float32))]
+    lights, data, ltc = _make_setup(rng, specs, p=160)
+    static = SceneStatic(light_count=1, light_texturing=(0,),
+                         light_vertex_counts=(4,))
+    settings = RenderSettings(
+        sampling_strategy=SamplingStrategy.DIFFUSE_SPECULAR_MIS,
+        polygon_sampling_technique=(
+            PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE),
+        sample_count=1)
+    p = data.position.shape[0]
+    total_pairs = pairs_per_light(settings)
+    noise_pairs = jnp.asarray(rng.rand(p, total_pairs, 2).astype(np.float32))
+    hit = jnp.ones(p, bool)
+    ls = fused._pack_light_scalars(lights, 1)
+    mis = jnp.float32(0.5)
+
+    ref = fused.fused_light_shading_xla(data, ltc, hit, noise_pairs, ls,
+                                        mis, static, settings)
+    got = fused.fused_light_shading(data, ltc, hit, noise_pairs, ls, mis,
+                                    static, settings, interpret=True)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=5e-4)

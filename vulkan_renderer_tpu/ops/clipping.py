@@ -21,8 +21,10 @@ Contract (matches clip_polygon in the reference):
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .. import MAX_POLYGON_VERTEX_COUNT
+from .math_utils import cumsum_lanes
 
 
 def _intersect_z0(lhs, rhs):
@@ -42,7 +44,7 @@ def clip_polygon(vertices, vertex_count, max_verts: int = MAX_POLYGON_VERTEX_COU
       (clipped_vertices (max_verts, 3), clipped_count int32)
     """
     v = vertices
-    lanes = jnp.arange(max_verts)
+    lanes = np.arange(max_verts)
     active = lanes < vertex_count
     above = (v[:, 2] > 0.0) & active
 
@@ -51,7 +53,9 @@ def clip_polygon(vertices, vertex_count, max_verts: int = MAX_POLYGON_VERTEX_COU
     # under vmap on TPU; roll + a single lane fix stays on the VPU.)
     wrap = lanes == vertex_count - 1
     v_next = jnp.where(wrap[:, None], v[0], jnp.roll(v, -1, axis=0))
-    above_next = jnp.where(wrap, above[0], jnp.roll(above, -1))
+    # Logical blend, not jnp.where: select on BOOL payloads lowers through
+    # an i8 truncation Mosaic rejects.
+    above_next = (wrap & above[0]) | (~wrap & jnp.roll(above, -1))
 
     # Per input edge (cur -> next): emit cur if cur above; emit the plane
     # intersection if the edge crosses the horizon.
@@ -60,7 +64,7 @@ def clip_polygon(vertices, vertex_count, max_verts: int = MAX_POLYGON_VERTEX_COU
     isect = _intersect_z0(v, v_next)
 
     counts = emit_cur.astype(jnp.int32) + emit_int.astype(jnp.int32)
-    offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
+    offsets = cumsum_lanes(counts) - counts  # exclusive prefix sum
     out_count = jnp.sum(counts)
 
     # Scatter-free compose: out[j] = the unique emitted element whose output

@@ -53,6 +53,32 @@ def wang_hash_np(seed: np.ndarray) -> np.ndarray:
     return seed
 
 
+def cumsum_lanes(x):
+    """Inclusive prefix sum over axis 0, unrolled (log2 n shift-adds).
+
+    Used instead of jnp.cumsum on the tiny vertex-lane axes (n <= 8):
+    the cumsum primitive has no Pallas/Mosaic lowering, and the unrolled
+    form is pure VPU adds that fuse into the surrounding kernel."""
+    n = x.shape[0]
+    offset = 1
+    while offset < n:
+        zeros = jnp.zeros((offset,) + x.shape[1:], x.dtype)
+        x = x + jnp.concatenate([zeros, x[:-offset]], axis=0)
+        offset *= 2
+    return x
+
+
+def first_true_lane(mask, fallback):
+    """Index of the first True along axis 0, else `fallback`.
+
+    jnp.argmax has no Mosaic lowering; a masked min over the (static)
+    lane iota reduces on the VPU and is exact."""
+    n = mask.shape[0]
+    lanes = jnp.arange(n, dtype=jnp.int32).reshape((n,) + (1,) * (mask.ndim - 1))
+    idx = jnp.min(jnp.where(mask, lanes, jnp.int32(n)), axis=0)
+    return jnp.where(idx < n, idx, fallback)
+
+
 def pick_lane(arr, idx):
     """arr[idx] along axis 0 without a gather.
 
@@ -120,9 +146,36 @@ def mix_fma(x, y, a):
 # atan variants (polygon_sampling.glsl:83-111)
 # ---------------------------------------------------------------------------
 
+_ATAN_T3P8 = np.float32(2.414213562373095)   # tan(3*pi/8)
+_ATAN_TP8 = np.float32(0.4142135623730950)   # tan(pi/8)
+
+
+def atan_f32(x):
+    """Single-precision arctangent, Cephes atanf polynomial (~2 ulp).
+
+    jnp.arctan has no Pallas/Mosaic lowering; this branchless version is
+    pure VPU arithmetic and is used on ALL paths so the fused kernel and
+    the plain XLA pipeline stay numerically identical."""
+    x = jnp.asarray(x, F32)
+    ax = jnp.abs(x)
+    big = ax > _ATAN_T3P8
+    mid = (ax > _ATAN_TP8) & ~big
+    safe_ax = jnp.where(ax > 0.0, ax, 1.0)
+    r = jnp.where(big, -1.0 / jnp.where(big, safe_ax, 1.0),
+                  jnp.where(mid, (ax - 1.0) / (ax + 1.0), ax))
+    offset = jnp.where(big, F32(M_HALF_PI),
+                       jnp.where(mid, F32(0.25 * M_PI), F32(0.0)))
+    z = r * r
+    p = z * F32(8.05374449538e-2) - F32(1.38776856032e-1)
+    p = z * p + F32(1.99777106478e-1)
+    p = z * p - F32(3.33329491539e-1)
+    y = offset + (z * p * r + r)
+    return jnp.where(x < 0.0, -y, y)
+
+
 def positive_atan(tangent):
     """atan() offset to lie in [0, pi]: angle with tan(angle) == tangent."""
-    return jnp.arctan(tangent) + jnp.where(tangent < 0.0, F32(M_PI), F32(0.0))
+    return atan_f32(tangent) + jnp.where(tangent < 0.0, F32(M_PI), F32(0.0))
 
 
 def fast_positive_atan(y):

@@ -27,11 +27,12 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import MAX_POLYGON_VERTEX_COUNT
-from .math_utils import (F32, M_HALF_PI, M_PI, cross_stable,
-                         fast_positive_atan, kahan, mix_fma, normalize,
-                         pick_lane, positive_atan)
+from .math_utils import (F32, M_HALF_PI, M_PI, cross_stable, cumsum_lanes,
+                         fast_positive_atan, first_true_lane, kahan, mix_fma,
+                         normalize, pick_lane, positive_atan)
 
 MAXV = MAX_POLYGON_VERTEX_COUNT
 _INF = jnp.float32(jnp.inf)
@@ -69,7 +70,7 @@ def prepare_solid_angle_polygon_sampling(vertices, vertex_count,
     householder_yz = d0[1:] * (1.0 / (jnp.abs(d0[0]) + 1.0))
 
     # Fan triangle i uses vertices (i+1, 0, i+2).
-    tri = jnp.arange(MAXV - 2)
+    tri = np.arange(MAXV - 2)
     v0 = dirs[tri + 1]            # (T, 3)
     v1 = d0[None, :]
     v2 = dirs[tri + 2]
@@ -91,7 +92,7 @@ def prepare_solid_angle_polygon_sampling(vertices, vertex_count,
     tri_active = tri + 2 < jnp.maximum(vertex_count, 3)
     tri_solid_angle = jnp.where(tri_active, tri_solid_angle, 0.0)
 
-    fan = jnp.cumsum(tri_solid_angle)
+    fan = cumsum_lanes(tri_solid_angle)
     params = jnp.stack([simplex_volume, dot_0_2_plus_1_2, one_plus_dot_0_1],
                        axis=-1)
     return SolidAnglePolygon(vertex_count, dirs, params, fan, fan[-1])
@@ -101,12 +102,12 @@ def sample_solid_angle_polygon(polygon: SolidAnglePolygon, random_numbers):
     """Map [0,1]^2 to a solid-angle-uniform direction
     (polygon_sampling.glsl:194-224)."""
     target = polygon.solid_angle * random_numbers[0]
-    tri = jnp.arange(MAXV - 2)
+    tri = np.arange(MAXV - 2)
     # First fan triangle whose cumulative solid angle reaches the target.
     valid = tri + 2 < jnp.maximum(polygon.vertex_count, 3)
     reached = (polygon.fan_solid_angles >= target) & valid
     last_valid = jnp.maximum(polygon.vertex_count - 3, 0)
-    sel = jnp.where(jnp.any(reached), jnp.argmax(reached), last_valid)
+    sel = first_true_lane(reached, last_valid)
 
     prev_fan = pick_lane(polygon.fan_solid_angles, sel - 1)  # 0 when sel == 0
     sub_solid_angle = target - prev_fan
@@ -153,8 +154,12 @@ def rotate_90(v):
 
 def is_inner_ellipse(ellipse_x):
     """Sign *bit* of ellipse.x distinguishes inner from outer edges,
-    including -0.0 (polygon_sampling.glsl:292-299)."""
-    return jnp.signbit(ellipse_x)
+    including -0.0 (polygon_sampling.glsl:292-299). Implemented as a
+    bitcast + integer compare: jnp.signbit lowers through an i32->bool
+    convert that Mosaic cannot compile."""
+    bits = jax.lax.bitcast_convert_type(jnp.asarray(ellipse_x, F32),
+                                        jnp.int32)
+    return bits < 0
 
 
 def ellipse_from_edge(vertex_0, vertex_1):
@@ -277,14 +282,18 @@ def _sort_convex_polygon_vertices(vertices, ellipses, vertex_count):
     — and one argsort reproduces the reference's network order at ~10x
     less TPU cost than the vmapped lax.switch over six networks.
     """
-    lanes = jnp.arange(MAXV)
+    lanes = np.arange(MAXV)
     count = jnp.maximum(vertex_count, 3)
     active = lanes < count
     ref = vertices[0]
     cross = kahan(ref[0], vertices[:, 1], ref[1], vertices[:, 0])
     dot = ref[0] * vertices[:, 0] + ref[1] * vertices[:, 1]
-    keys = jnp.arctan2(cross, dot)
-    keys = jnp.where(active, keys, jnp.inf)
+    # Pseudo-angle: strictly monotonic in atan2(cross, dot) over (-pi, pi]
+    # and exactly tie-preserving, but branchless VPU arithmetic (atan2 has
+    # no Mosaic lowering, and only the ORDER of the keys matters here).
+    p = dot / (jnp.abs(dot) + jnp.abs(cross) + F32(1e-37))
+    keys = jnp.where(cross >= 0.0, 1.0 - p, p - 1.0)
+    keys = jnp.where(active, keys, F32(4.0))
     # Rank-based permutation instead of argsort + gather: both the sort and
     # the permutation apply become 8x8 VPU compare/select/reduce ops (a
     # batched gather under vmap serializes on TPU). rank[k] = stable-sort
@@ -311,7 +320,7 @@ def prepare_projected_solid_angle_polygon_sampling(vertices, vertex_count,
     from the origin.
     """
     count = jnp.maximum(vertex_count, 3)
-    lanes = jnp.arange(MAXV)
+    lanes = np.arange(MAXV)
     active = lanes < count
 
     # Raw ellipses for edge i -> i+1. Padding repeats vertex 0 at lane
@@ -328,7 +337,9 @@ def prepare_projected_solid_angle_polygon_sampling(vertices, vertex_count,
     last_inner = pick_lane(raw_inner, count - 1)
     lane0 = lanes == 0
     prev_raw = jnp.where(lane0[:, None], last_raw, jnp.roll(raw, 1, axis=0))
-    prev_inner = jnp.where(lane0, last_inner, jnp.roll(raw_inner, 1))
+    # Logical blend, not jnp.where: select on BOOL payloads lowers through
+    # an i8 truncation Mosaic rejects.
+    prev_inner = (lane0 & last_inner) | (~lane0 & jnp.roll(raw_inner, 1))
 
     # If edge i is inner, vertex i keeps the previous (outer) ellipse.
     ellipses = jnp.where(raw_inner[:, None], prev_raw, raw)
@@ -336,7 +347,8 @@ def prepare_projected_solid_angle_polygon_sampling(vertices, vertex_count,
     # (first transition lane, selected one-hot instead of argmax + gather).
     transition = active & prev_inner & (~raw_inner)
     has_transition = jnp.any(transition)
-    first_trans = transition & (jnp.cumsum(transition) == 1)
+    first_trans = transition & (cumsum_lanes(transition.astype(jnp.int32))
+                                == 1)
     picked = jnp.sum(jnp.where(first_trans[:, None], prev_raw, 0.0), axis=0)
     inner_ellipse_0 = jnp.where(has_transition, picked,
                                 jnp.array([1.0, 0.0], F32))
@@ -512,11 +524,11 @@ def sample_sector_between_ellipses(random_numbers, target_area, inner_ellipse,
 
 def _select_sector(polygon: ProjectedSolidAnglePolygon, target, num_sectors):
     """First sector whose cumulative PSA exceeds the target."""
-    cum = jnp.cumsum(polygon.sector_psa)
-    lanes = jnp.arange(MAXV)
+    cum = cumsum_lanes(polygon.sector_psa)
+    lanes = np.arange(MAXV)
     valid = lanes < num_sectors
     reached = (target < cum) & valid
-    sel = jnp.where(jnp.any(reached), jnp.argmax(reached), num_sectors - 1)
+    sel = first_true_lane(reached, num_sectors - 1)
     # pick_lane(cum, -1) == 0 for sel == 0, matching the reference's branch.
     remaining = target - pick_lane(cum, sel - 1)
     return sel, remaining

@@ -64,12 +64,11 @@ def make_frame_constants(camera: FirstPersonCamera, width: int, height: int,
     )
 
 
-def _shade_pixel(scene: Scene, static: SceneStatic, settings: RenderSettings,
-                 constants: FrameConstants,
-                 pixel_xy, primitive_index, ray_direction, noise_pairs):
-    """Per-pixel shading EXCEPT shadow visibility (deferred): returns
-    (base (3,), b (S,3), ray_dirs (S,3), t_max (S,), origin (3,)).
-    Final color = postprocess((base + sum b_i * V_i) * exposure)."""
+def _pixel_preamble(scene: Scene, static: SceneStatic,
+                    settings: RenderSettings, constants: FrameConstants,
+                    primitive_index, ray_direction):
+    """Per-pixel work shared by the fused and vmapped shading paths:
+    shading-data reconstruction, light display, LTC fetch."""
     hit = primitive_index != INVALID_PRIMITIVE
     safe_prim = jnp.where(hit, primitive_index, 0).astype(jnp.int32)
 
@@ -94,11 +93,22 @@ def _shade_pixel(scene: Scene, static: SceneStatic, settings: RenderSettings,
                 constants.camera_position)
             base = base + jnp.where(light_hit, radiance, 0.0)
 
-    # Shade with all lights (shadow rays collected, not traced).
     fresnel_luminance = jnp.sum(
         data.fresnel_0 * jnp.array([0.2126, 0.7152, 0.0722]))
     ltc = get_ltc_coefficients(scene.ltc, fresnel_luminance, data.roughness,
                                data.position, data.normal, data.outgoing)
+    return hit, data, ltc, base
+
+
+def _shade_pixel(scene: Scene, static: SceneStatic, settings: RenderSettings,
+                 constants: FrameConstants,
+                 pixel_xy, primitive_index, ray_direction, noise_pairs):
+    """Per-pixel shading EXCEPT shadow visibility (deferred): returns
+    (base (3,), b (S,3), ray_dirs (S,3), t_max (S,), origin (3,)).
+    Final color = postprocess((base + sum b_i * V_i) * exposure)."""
+    hit, data, ltc, base = _pixel_preamble(scene, static, settings,
+                                           constants, primitive_index,
+                                           ray_direction)
     ppl = pairs_per_light(settings)
     b_all, dir_all, tmax_all = [], [], []
     for i in range(static.light_count):
@@ -124,6 +134,27 @@ def _shade_pixel(scene: Scene, static: SceneStatic, settings: RenderSettings,
     tmax = jnp.concatenate(tmax_all, axis=0)
     origin = jnp.where(hit, data.position, constants.camera_position)
     return base, b, dirs, tmax, origin
+
+
+def _use_fused(static: SceneStatic, settings: RenderSettings) -> bool:
+    """Fused Pallas shading kernel dispatch (render/fused.py). "auto"
+    uses it whenever the configuration is supported (on CPU the kernel
+    runs interpreted — slow but correct, mainly for tests)."""
+    if static.fused == "off":
+        return False
+    from .fused import fused_supported
+    if not fused_supported(static, settings):
+        if static.fused == "on":
+            raise ValueError(
+                "static.fused='on' but this configuration has no fused "
+                "kernel (see render/fused.py fused_supported)")
+        return False
+    if static.fused == "on":
+        return True
+    # The driver's TPU platform is named "axon" (tunneled v5e); only the
+    # CPU backend lacks a compiled Pallas path.
+    import jax as _jax
+    return _jax.default_backend() != "cpu"
 
 
 def _postprocess(color, settings: RenderSettings):
@@ -159,7 +190,20 @@ def render_frame_jit(scene: Scene, static: SceneStatic,
     Structure: visibility (rays -> primitive ids), per-pixel shading with
     deferred shadow-ray collection, ONE batched wavefront/BVH shadow trace
     over the whole frame's ray megabatch (the north-star design), then
-    visibility-weighted resolve + postprocess."""
+    visibility-weighted resolve + postprocess.
+
+    All matmuls run at HIGHEST precision: the TPU default lowers f32
+    matmuls to bf16 MXU passes, which rounds the per-pixel 3x3 frame
+    transforms by ~1e-3 relative — visibly diverging from the fused
+    kernel's exact-f32 VPU arithmetic and breaking the RMSE<1e-3 parity
+    budget."""
+    with jax.default_matmul_precision("highest"):
+        return _render_frame_body(scene, static, settings, constants,
+                                  width, height, with_stats)
+
+
+def _render_frame_body(scene, static, settings, constants, width, height,
+                       with_stats):
     xs = jnp.arange(width, dtype=jnp.float32)
     ys = jnp.arange(height, dtype=jnp.float32)
     px, py = jnp.meshgrid(xs, ys, indexing="xy")
@@ -194,10 +238,26 @@ def render_frame_jit(scene: Scene, static: SceneStatic,
         scene.noise_resolution_mask, scene.noise_texture_index_mask,
         constants.noise_random_numbers)
 
-    shade = functools.partial(_shade_pixel, scene, static, settings,
-                              constants)
-    base, b, dirs, tmax, origins = jax.vmap(shade)(
-        pixels_i, primitive_index, ray_dirs, noise_pairs)
+    if _use_fused(static, settings):
+        from .fused import _pack_light_scalars, fused_light_shading
+        preamble = functools.partial(_pixel_preamble, scene, static,
+                                     settings, constants)
+        hit, data, ltc, base0 = jax.vmap(preamble)(primitive_index,
+                                                   ray_dirs)
+        light_scalars = _pack_light_scalars(scene.lights,
+                                            static.light_count)
+        base_l, b, dirs, tmax = fused_light_shading(
+            data, ltc, hit, noise_pairs, light_scalars,
+            constants.mis_visibility_estimate, static, settings,
+            interpret=jax.default_backend() == "cpu")
+        base = base0 + base_l
+        origins = jnp.where(hit[:, None], data.position,
+                            constants.camera_position)
+    else:
+        shade = functools.partial(_shade_pixel, scene, static, settings,
+                                  constants)
+        base, b, dirs, tmax, origins = jax.vmap(shade)(
+            pixels_i, primitive_index, ray_dirs, noise_pairs)
 
     if settings.trace_shadow_rays:
         s = b.shape[1]

@@ -55,6 +55,13 @@ class SceneStatic:
     light_texturing: tuple  # per light: PolygonTexturing int
     linear_light_count: int = 0
     max_light_vertex_count: int = MAXV - 1
+    # Per-light vertex counts as STATIC ints: enables the fused Pallas
+    # shading kernel (render/fused.py), mirroring the reference's
+    # MIN/MAX_POLYGON_VERTEX_COUNT shader defines (main.c:763-772).
+    # None -> fused path disabled, vmapped per-pixel path used.
+    light_vertex_counts: tuple | None = None
+    # Fused-kernel policy: "auto" (use on TPU when supported), "on", "off".
+    fused: str = "auto"
     # Traversal backend: "auto" resolves to wavefront for large scenes and
     # brute force for small ones; "wavefront"/"bvh"/"bruteforce" force a
     # specific path (static -> jit specialization).
