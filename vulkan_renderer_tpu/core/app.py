@@ -122,6 +122,8 @@ class Application:
             light_count=len(self.scene_spec.lights),
             light_texturing=tuple(
                 spec.texturing_technique for spec in self.scene_spec.lights),
+            light_vertex_counts=tuple(
+                spec.vertex_count for spec in self.scene_spec.lights),
             traversal="wavefront"
             if self.scene.triangle_positions.shape[0] > 4096 else "auto",
         )
@@ -135,7 +137,7 @@ class Application:
         table = load_noise_table(noise_type, self.data_directory)
         import jax.numpy as jnp
         self.scene = self.scene._replace(
-            noise_table=jnp.asarray(table.table.astype(np.float32) / 65535.0),
+            noise_table=jnp.asarray(table.table),  # u16; ops/noise.py scales
             noise_resolution_mask=jnp.asarray(table.resolution_mask),
             noise_texture_index_mask=jnp.asarray(table.texture_index_mask))
 

@@ -87,3 +87,112 @@ class RenderSettings:
     # Linear (segment) light sampling technique (HPG 2021 companion):
     # uniform | distance | projected_ris.
     linear_technique: str = "projected_ris"
+
+    def __post_init__(self):
+        violations = settings_violations(self)
+        if violations:
+            raise ValueError(
+                "illegal RenderSettings combination (the reference GUI "
+                "masks these choices, user_interface.cpp:88-199):\n- "
+                + "\n- ".join(violations)
+                + "\nUse legalize_settings() to coerce like the GUI does.")
+
+
+# Techniques that cannot report a density independent of sampling, so MIS
+# against GGX sampling is impossible (user_interface.cpp:131-140).
+GGX_MIS_DENYLIST = frozenset({
+    PolygonSamplingTechnique.BASELINE,
+    PolygonSamplingTechnique.AREA_TURK,
+    PolygonSamplingTechnique.BILINEAR_COSINE_WARP_HART,
+    PolygonSamplingTechnique.BILINEAR_COSINE_WARP_CLIPPING_HART,
+    PolygonSamplingTechnique.BIQUADRATIC_COSINE_WARP_HART,
+    PolygonSamplingTechnique.BIQUADRATIC_COSINE_WARP_CLIPPING_HART,
+})
+
+_PSA_OURS = (PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE,
+             PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_BIASED)
+_SPECULAR_STRATEGIES = (SamplingStrategy.DIFFUSE_SPECULAR_SEPARATELY,
+                        SamplingStrategy.DIFFUSE_SPECULAR_MIS,
+                        SamplingStrategy.DIFFUSE_SPECULAR_RANDOM)
+_OUR_HEURISTICS = (MisHeuristic.WEIGHTED, MisHeuristic.OPTIMAL_CLAMPED,
+                   MisHeuristic.OPTIMAL)
+_PSA_ERROR_TECHNIQUES = _PSA_OURS + (
+    PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_ARVO,)
+
+
+def settings_violations(s: RenderSettings) -> list:
+    """The legality rules the reference GUI enforces by masking choices
+    (user_interface.cpp:88-199), as a validator. Empty list = legal."""
+    v = []
+    tech = s.polygon_sampling_technique
+    strat = s.sampling_strategy
+    if strat in _SPECULAR_STRATEGIES and tech not in _PSA_OURS:
+        v.append(
+            f"specular sampling strategy {strat.value} requires projected "
+            f"solid angle sampling (ours/biased), got {tech.value} "
+            "(user_interface.cpp:165-177)")
+    if strat == SamplingStrategy.DIFFUSE_GGX_MIS \
+            and tech in GGX_MIS_DENYLIST:
+        v.append(
+            f"MIS with GGX sampling needs a sampling-independent density; "
+            f"{tech.value} has none (user_interface.cpp:131-140)")
+    if s.mis_heuristic in _OUR_HEURISTICS and strat in (
+            SamplingStrategy.DIFFUSE_GGX_MIS,
+            SamplingStrategy.DIFFUSE_SPECULAR_MIS):
+        if strat != SamplingStrategy.DIFFUSE_SPECULAR_MIS \
+                or tech not in _PSA_OURS:
+            v.append(
+                f"MIS heuristic {s.mis_heuristic.value} requires "
+                "diffuse_specular_mis with projected solid angle sampling "
+                "(ours/biased) (user_interface.cpp:88-104,180-184)")
+    if s.error_display != ErrorDisplay.NONE:
+        if tech not in _PSA_ERROR_TECHNIQUES \
+                or strat == SamplingStrategy.DIFFUSE_GGX_MIS:
+            v.append(
+                "error display needs a projected-solid-angle technique and "
+                "a non-GGX strategy (user_interface.cpp:186-199)")
+        elif s.error_display in (ErrorDisplay.SPECULAR_BACKWARD,
+                                 ErrorDisplay.SPECULAR_BACKWARD_SCALED,
+                                 ErrorDisplay.SPECULAR_FORWARD) \
+                and strat == SamplingStrategy.DIFFUSE_ONLY:
+            v.append(
+                "specular error display requires a specular sampling "
+                "strategy (user_interface.cpp:195-196)")
+        elif tech == PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_ARVO \
+                and s.error_display not in (
+                    ErrorDisplay.DIFFUSE_BACKWARD,
+                    ErrorDisplay.DIFFUSE_BACKWARD_SCALED):
+            v.append(
+                "Arvo PSA exposes only diffuse backward errors "
+                "(user_interface.cpp:197)")
+    return v
+
+
+def legalize_settings(settings: RenderSettings | None = None,
+                      **kwargs) -> RenderSettings:
+    """Build RenderSettings from field values, coercing illegal
+    combinations the way the reference GUI does (downgrade the heuristic
+    to power, force PSA for specular strategies, disable an unsupported
+    error display) instead of raising. Accepts a base settings object
+    and/or field overrides — the GUI-equivalent entry point, since
+    RenderSettings itself rejects illegal combinations at construction."""
+    f = {fld.name: getattr(settings, fld.name) if settings is not None
+         else fld.default for fld in dataclasses.fields(RenderSettings)}
+    f.update(kwargs)
+    tech = f["polygon_sampling_technique"]
+    strat = f["sampling_strategy"]
+    if strat in _SPECULAR_STRATEGIES and tech not in _PSA_OURS:
+        tech = PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE
+    if strat == SamplingStrategy.DIFFUSE_GGX_MIS and tech in GGX_MIS_DENYLIST:
+        tech = PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE
+    heuristic = f["mis_heuristic"]
+    if heuristic in _OUR_HEURISTICS \
+            and (strat != SamplingStrategy.DIFFUSE_SPECULAR_MIS
+                 or tech not in _PSA_OURS):
+        heuristic = MisHeuristic.POWER
+    f.update(polygon_sampling_technique=tech, mis_heuristic=heuristic)
+    try:
+        return RenderSettings(**f)
+    except ValueError:
+        f["error_display"] = ErrorDisplay.NONE
+        return RenderSettings(**f)

@@ -22,8 +22,9 @@ def get_noise_sample(table, pixel, sample_index, resolution_mask,
                      texture_index_mask, noise_random_numbers):
     """Fetch 4 noise values for a pixel (noise_utility.glsl:62-73).
 
-    table: (layers, H, W, 4) float32 already normalized to [0, 1] (the
-    u16 UNORM division happens once at scene build); pixel: (..., 2) int32
+    table: (layers, H, W, 4) uint16 (UNORM16, normalized after the gather
+    — storing the raw u16 quarters the table's HBM footprint and gather
+    traffic vs f32) or float32 already in [0, 1]; pixel: (..., 2) int32
     (x, y); sample_index: scalar or (...,) uint32; noise_random_numbers:
     (4,) uint32. Returns (..., 4) float32 in [0, 1].
     """
@@ -44,9 +45,12 @@ def get_noise_sample(table, pixel, sample_index, resolution_mask,
     res_mask = jnp.asarray(resolution_mask, U32)
     loc_x = (pixel[..., 0].astype(U32) + off_x) & res_mask[0]
     loc_y = (pixel[..., 1].astype(U32) + off_y) & res_mask[1]
-    return table[texture_index.astype(jnp.int32),
+    vals = table[texture_index.astype(jnp.int32),
                  loc_y.astype(jnp.int32),
                  loc_x.astype(jnp.int32)]
+    if jnp.issubdtype(vals.dtype, jnp.integer):
+        vals = vals.astype(jnp.float32) * jnp.float32(1.0 / 65535.0)
+    return vals
 
 
 def get_noise_pairs(table, pixel, pair_count: int, resolution_mask,

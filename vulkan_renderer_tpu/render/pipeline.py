@@ -217,7 +217,17 @@ def _render_frame_body(scene, static, settings, constants, width, height,
     shadow_overflow = jnp.int32(0)
     traversal = static.resolved_traversal(
         int(scene.triangle_positions.shape[0]))
-    if traversal == "wavefront":
+    use_pallas_trace = traversal == "wavefront" \
+        and jax.default_backend() != "cpu"
+    if use_pallas_trace:
+        from .trace_kernel import trace_anyhit_fused, trace_closest_fused
+        primitive_index_i, _, primary_uncertain = trace_closest_fused(
+            scene.clusters,
+            jnp.broadcast_to(constants.camera_position, ray_dirs.shape),
+            ray_dirs, chunk_rows=static.trace_chunk_rows,
+            m_budget=static.primary_m_budget)
+        primitive_index = primitive_index_i
+    elif traversal == "wavefront":
         primitive_index, _, primary_uncertain = trace_closest(
             scene.clusters, constants.camera_position, ray_dirs,
             pairs_per_ray=static.primary_pairs_per_ray)
@@ -274,7 +284,12 @@ def _render_frame_body(scene, static, settings, constants, width, height,
         # the cull rejects them immediately.
         live = jnp.any(b.transpose(1, 0, 2).reshape(-1, 3) != 0.0, axis=-1)
         flat_tmax = jnp.where(live, flat_tmax, -1.0)
-        if traversal == "wavefront":
+        if use_pallas_trace:
+            occluded, shadow_overflow = trace_anyhit_fused(
+                scene.clusters, flat_origins, flat_dirs, flat_tmax,
+                chunk_rows=static.trace_chunk_rows,
+                m_budget=static.shadow_m_budget)
+        elif traversal == "wavefront":
             occluded, shadow_overflow = trace_anyhit(
                 scene.clusters, flat_origins, flat_dirs, flat_tmax,
                 pairs_per_ray=static.shadow_pairs_per_ray)

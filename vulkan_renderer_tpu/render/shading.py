@@ -72,6 +72,12 @@ class SceneStatic:
     # when these are too small for a scene.
     primary_pairs_per_ray: int = 24
     shadow_pairs_per_ray: int = 24
+    # Pallas traversal (render/trace_kernel.py, TPU only): rays per chunk
+    # (x128) sharing one compacted cluster union of at most *_m_budget
+    # clusters. Overflow/uncertain counters report dropped clusters.
+    trace_chunk_rows: int = 16
+    primary_m_budget: int = 64
+    shadow_m_budget: int = 48
 
     def resolved_traversal(self, triangle_count: int) -> str:
         if self.traversal != "auto":

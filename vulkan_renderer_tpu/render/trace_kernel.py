@@ -1,0 +1,377 @@
+"""Pallas traversal kernels: per-chunk union cull + in-VMEM intersection.
+
+Replaces the XLA wavefront tracer's per-(ray, cluster) one-hot MXU
+selection (render/wavefront.py _pair_intersect) on TPU: profiling shows
+that matmul is ~85% of the trace cost (~3.6 TFLOP of pure data movement
+per megabatch). Here:
+
+  Phase 1 (XLA, cheap): rays are processed in chunks of `chunk_rows`*128;
+    one dense slab test per chunk yields the UNION of hit clusters,
+    compacted to `m_budget` ids (top_k over K per chunk — thousands of
+    times cheaper than per-ray top_k over K).
+  Phase 2 (Pallas): grid (chunk, m). A scalar-prefetched index map DMAs
+    exactly cluster m's triangle planes (one (1,1,W) block) into VMEM;
+    the kernel intersects the chunk's rays against its `cluster_size`
+    triangles entirely in VMEM/registers, accumulating any-hit occlusion
+    or running closest-hit (t, prim) across the m dimension. A per-step
+    AABB test skips the triangle loop when no live ray can hit.
+
+Same hit semantics as the reference's ray queries: t in [t_min, t_max],
+no backface culling, force-opaque (shading_pass.frag.glsl:120-138).
+Exactness: results are exact whenever the chunk's cluster union fits
+m_budget; dropped clusters are counted in the returned overflow (any-hit)
+/ uncertain (closest-hit) counters, same contract as render/wavefront.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .wavefront import Clusters, _chunk_rows, _slab_mask
+
+_LANE = 128
+INVALID = jnp.uint32(0xFFFFFFFF)
+
+
+# Above this cluster count the per-chunk cull goes two-level: clusters are
+# grouped into superclusters of _SC_GROUP whose AABBs are culled densely
+# first, and only the members of the best _SC_BUDGET superclusters get the
+# exact per-cluster slab test. Keeps the cull cost O(rays * K/G + rays *
+# G*S) instead of O(rays * K) — the reference gets the same effect from its
+# two-level acceleration structure (scene.c:142-406).
+_TWO_LEVEL_MIN_CLUSTERS = 1024
+_SC_GROUP = 64
+_SC_BUDGET = 20
+
+
+def _supercluster_aabbs(clusters: Clusters):
+    """Grouped AABBs, padded so every supercluster has _SC_GROUP members
+    (padding members get empty AABBs that no slab test can hit)."""
+    k = clusters.cluster_count
+    ks = -(-k // _SC_GROUP)
+    pad = ks * _SC_GROUP - k
+    lo = jnp.concatenate(
+        [clusters.aabb_lo, jnp.full((pad, 3), jnp.inf)]) if pad \
+        else clusters.aabb_lo
+    hi = jnp.concatenate(
+        [clusters.aabb_hi, jnp.full((pad, 3), -jnp.inf)]) if pad \
+        else clusters.aabb_hi
+    sc_lo = lo.reshape(ks, _SC_GROUP, 3).min(axis=1)
+    sc_hi = hi.reshape(ks, _SC_GROUP, 3).max(axis=1)
+    return lo, hi, sc_lo, sc_hi
+
+
+def _union_cull(clusters: Clusters, origins, dirs, t_max, chunk: int,
+                m_budget: int):
+    """Per-chunk union of slab-hit clusters, compacted to m_budget ids.
+
+    Returns (ids (NC*M,) i32, valid (NC*M,) i32, overflow (), NC).
+    Overflow counts clusters that may intersect the chunk's rays but were
+    dropped by a budget (m_budget or, two-level, _SC_BUDGET) — results are
+    exact iff it is zero, same contract as render/wavefront.py."""
+    k = clusters.cluster_count
+    (o_c, d_c, t_c), r = _chunk_rows([origins, dirs, t_max], chunk)
+    two_level = k > _TWO_LEVEL_MIN_CLUSTERS
+    if two_level:
+        pad_lo, pad_hi, sc_lo, sc_hi = _supercluster_aabbs(clusters)
+        ks = sc_lo.shape[0]
+        sc_score_lane = ks - jnp.arange(ks, dtype=jnp.int32)
+        member_offsets = jnp.arange(_SC_GROUP, dtype=jnp.int32)
+    lane_score = k - jnp.arange(k, dtype=jnp.int32)
+
+    def body(_, args):
+        o, d, t = args
+        if two_level:
+            sc_mask, _ = _slab_mask(sc_lo, sc_hi, o, d, t)
+            sc_union = jnp.any(sc_mask, axis=0)
+            sc_vals, sc_ids = jax.lax.top_k(
+                jnp.where(sc_union, sc_score_lane, 0),
+                min(_SC_BUDGET, ks))
+            sc_valid = sc_vals > 0
+            # Dropped superclusters: anything inside may be missed.
+            sc_overflow = (jnp.sum(sc_union, dtype=jnp.int32)
+                           - jnp.sum(sc_valid, dtype=jnp.int32)) \
+                * jnp.int32(_SC_GROUP)
+            member_ids = (sc_ids[:, None] * _SC_GROUP
+                          + member_offsets[None, :]).reshape(-1)
+            # Padded/dropped superclusters contribute empty AABBs.
+            sel_lo = jnp.where(sc_valid[:, None, None],
+                               pad_lo[member_ids].reshape(
+                                   -1, _SC_GROUP, 3), jnp.inf).reshape(-1, 3)
+            sel_hi = jnp.where(sc_valid[:, None, None],
+                               pad_hi[member_ids].reshape(
+                                   -1, _SC_GROUP, 3), -jnp.inf).reshape(-1, 3)
+            mask, _ = _slab_mask(sel_lo, sel_hi, o, d, t)
+            union = jnp.any(mask, axis=0)
+            # Score must order by GLOBAL cluster id for determinism.
+            score = jnp.where(union, k - member_ids, 0)
+            vals, pos = jax.lax.top_k(score, min(m_budget, union.shape[0]))
+            ids = member_ids[pos]
+            valid = vals > 0
+            overflow = sc_overflow + jnp.sum(union, dtype=jnp.int32) \
+                - jnp.sum(valid, dtype=jnp.int32)
+        else:
+            mask, _ = _slab_mask(clusters.aabb_lo, clusters.aabb_hi, o, d, t)
+            union = jnp.any(mask, axis=0)
+            score = jnp.where(union, lane_score, 0)
+            vals, ids = jax.lax.top_k(score, min(m_budget, k))
+            valid = vals > 0
+            overflow = jnp.sum(union, dtype=jnp.int32) \
+                - jnp.sum(valid, dtype=jnp.int32)
+        return None, (ids.astype(jnp.int32), valid.astype(jnp.int32),
+                      overflow)
+
+    _, (ids, valid, ovf) = jax.lax.scan(body, None, (o_c, d_c, t_c))
+    return ids.reshape(-1), valid.reshape(-1), jnp.sum(ovf), o_c.shape[0]
+
+
+def _pack_rays(origins, dirs, t_max, chunk: int):
+    """(R,3)x2 + (R,) -> (7, NR, 128) with dead padding (t_max = -1)."""
+    r = dirs.shape[0]
+    pad = (-r) % chunk
+    if pad:
+        z3 = jnp.zeros((pad, 3), jnp.float32)
+        origins = jnp.concatenate([origins, z3])
+        dirs = jnp.concatenate([dirs, jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (pad, 3))])
+        t_max = jnp.concatenate([t_max, jnp.full((pad,), -1.0, jnp.float32)])
+    planes = jnp.stack([origins[:, 0], origins[:, 1], origins[:, 2],
+                        dirs[:, 0], dirs[:, 1], dirs[:, 2], t_max])
+    return planes.reshape(7, -1, _LANE), r
+
+
+def _padded_tables(clusters: Clusters):
+    """(K, 1, W) triangle planes (W = 9C padded to a lane multiple) and
+    (K, 1, 8) AABB rows for per-step DMA blocks."""
+    k, w9 = clusters.planes.shape
+    w = -(-w9 // _LANE) * _LANE
+    tab = clusters.planes
+    if w != w9:
+        tab = jnp.concatenate(
+            [tab, jnp.zeros((k, w - w9), tab.dtype)], axis=1)
+    tab = tab.reshape(k, 1, w)
+    aabb = jnp.concatenate(
+        [clusters.aabb_lo, clusters.aabb_hi,
+         jnp.zeros((k, 2), jnp.float32)], axis=1).reshape(k, 1, 8)
+    return tab, aabb
+
+
+def _ray_slab(aabb_ref, ox, oy, oz, dx, dy, dz, t_cap):
+    lo = [aabb_ref[0, 0, c] for c in range(3)]
+    hi = [aabb_ref[0, 0, 3 + c] for c in range(3)]
+    t_near = None
+    t_far = None
+    for o, d, l, h in ((ox, dx, lo[0], hi[0]), (oy, dy, lo[1], hi[1]),
+                       (oz, dz, lo[2], hi[2])):
+        ad = jnp.abs(d)
+        inv = jnp.where(ad > 1e-20, 1.0 / jnp.where(ad > 1e-20, d, 1.0),
+                        np.float32(1e30))
+        t0 = (l - o) * inv
+        t1 = (h - o) * inv
+        near = jnp.minimum(t0, t1)
+        far = jnp.maximum(t0, t1)
+        t_near = near if t_near is None else jnp.maximum(t_near, near)
+        t_far = far if t_far is None else jnp.minimum(t_far, far)
+    return (t_near <= t_far) & (t_far >= 0.0) & (t_near <= t_cap), t_near
+
+
+def _tri_scalars(tab_ref, t: int, c: int):
+    """Clusters.planes is COMPONENT-major: component k of triangle t sits
+    at column k*C + t (render/wavefront.py build_clusters)."""
+    return [tab_ref[0, 0, k * c + t] for k in range(9)]
+
+
+def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
+                       chunk_rows: int = 16, m_budget: int = 32,
+                       t_min: float = 1.0e-3, interpret: bool = False):
+    """Any-hit (shadow) test. Returns (occluded bool (R,), overflow ())."""
+    origins = jnp.broadcast_to(origins, dirs.shape)
+    t_max = jnp.broadcast_to(jnp.asarray(t_max), dirs.shape[:1])
+    chunk = chunk_rows * _LANE
+    m = min(m_budget, clusters.cluster_count)
+    c = clusters.cluster_size
+
+    ids, valid, overflow, nc = _union_cull(clusters, origins, dirs, t_max,
+                                           chunk, m)
+    rays, r = _pack_rays(origins, dirs, t_max, chunk)
+    tab, aabb = _padded_tables(clusters)
+    nr = rays.shape[1]
+
+    def kernel(ids_ref, valid_ref, rays_ref, tab_ref, aabb_ref, out_ref):
+        i = pl.program_id(0)
+        mm = pl.program_id(1)
+
+        @pl.when(mm == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
+        dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
+        tmax = rays_ref[6]
+        mask, _ = _ray_slab(aabb_ref, ox, oy, oz, dx, dy, dz, tmax)
+        work = mask & (out_ref[...] < 0.5)
+        is_valid = valid_ref[i * m + mm] > 0
+
+        @pl.when(is_valid & jnp.any(work))
+        def _():
+            occ = jnp.zeros_like(ox, dtype=jnp.bool_)
+            for t in range(c):
+                v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = \
+                    _tri_scalars(tab_ref, t, c)
+                # Division-free Moeller-Trumbore (scalars x ray planes).
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                su = jnp.where(det >= 0.0, 1.0, -1.0)
+                adet = det * su
+                tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+                u = (tx * px + ty * py + tz * pz) * su
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dx * qx + dy * qy + dz * qz) * su
+                tt = (e2x * qx + e2y * qy + e2z * qz) * su
+                hit = (adet > 1e-12) & (u >= 0.0) & (v >= 0.0) \
+                    & (u + v <= adet) & (tt >= np.float32(t_min) * adet) \
+                    & (tt <= tmax * adet)
+                occ = occ | hit
+            out_ref[...] = jnp.where(work & occ, 1.0, out_ref[...])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nc, m),
+        in_specs=[
+            pl.BlockSpec((7, chunk_rows, _LANE),
+                         lambda i, mm, ids, valid: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tab.shape[2]),
+                         lambda i, mm, ids, valid: (ids[i * m + mm], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8),
+                         lambda i, mm, ids, valid: (ids[i * m + mm], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk_rows, _LANE),
+                               lambda i, mm, ids, valid: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nr, _LANE), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(ids, valid, rays, tab, aabb)
+    occluded = out.reshape(-1)[:r] > 0.5
+    return occluded, overflow
+
+
+def trace_closest_fused(clusters: Clusters, origins, dirs,
+                        chunk_rows: int = 16, m_budget: int = 48,
+                        t_min: float = 1.0e-3, interpret: bool = False):
+    """Closest hit. Returns (prim uint32 (R,), t (R,), uncertain ())."""
+    origins = jnp.broadcast_to(origins, dirs.shape)
+    t_max = jnp.full(dirs.shape[:1], jnp.inf, jnp.float32)
+    chunk = chunk_rows * _LANE
+    m = min(m_budget, clusters.cluster_count)
+    c = clusters.cluster_size
+
+    ids, valid, overflow, nc = _union_cull(clusters, origins, dirs, t_max,
+                                           chunk, m)
+    rays, r = _pack_rays(origins, dirs, t_max, chunk)
+    tab, aabb = _padded_tables(clusters)
+    nr = rays.shape[1]
+
+    def kernel(ids_ref, valid_ref, rays_ref, tab_ref, aabb_ref,
+               t_ref, prim_ref):
+        i = pl.program_id(0)
+        mm = pl.program_id(1)
+
+        @pl.when(mm == 0)
+        def _():
+            t_ref[...] = jnp.full_like(t_ref, jnp.inf)
+            prim_ref[...] = jnp.full_like(prim_ref, -1)
+
+        ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
+        dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
+        best_t = t_ref[...]
+        mask, t_near = _ray_slab(aabb_ref, ox, oy, oz, dx, dy, dz,
+                                 rays_ref[6])
+        work = mask & (t_near <= best_t)
+        is_valid = valid_ref[i * m + mm] > 0
+        cluster_id = ids_ref[i * m + mm]
+
+        @pl.when(is_valid & jnp.any(work))
+        def _():
+            bt = best_t
+            bp = prim_ref[...]
+            for t in range(c):
+                v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = \
+                    _tri_scalars(tab_ref, t, c)
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                det_ok = jnp.abs(det) > 1e-12
+                inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+                tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                hit = det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) \
+                    & (tt >= np.float32(t_min)) & (tt < bt) & work
+                bp = jnp.where(hit, cluster_id * c + t, bp)
+                bt = jnp.where(hit, tt, bt)
+            t_ref[...] = bt
+            prim_ref[...] = bp
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nc, m),
+        in_specs=[
+            pl.BlockSpec((7, chunk_rows, _LANE),
+                         lambda i, mm, ids, valid: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tab.shape[2]),
+                         lambda i, mm, ids, valid: (ids[i * m + mm], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8),
+                         lambda i, mm, ids, valid: (ids[i * m + mm], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk_rows, _LANE),
+                         lambda i, mm, ids, valid: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk_rows, _LANE),
+                         lambda i, mm, ids, valid: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    t_out, prim_out = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((nr, _LANE), jnp.float32),
+                   jax.ShapeDtypeStruct((nr, _LANE), jnp.int32)],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(ids, valid, rays, tab, aabb)
+    t_out = t_out.reshape(-1)[:r]
+    prim_out = prim_out.reshape(-1)[:r]
+    prim_out = jnp.where(jnp.isfinite(t_out), prim_out.astype(jnp.uint32),
+                         INVALID)
+    # A dropped union cluster could hide the true closest hit anywhere in
+    # the chunk; report the pair count like the wavefront tracer.
+    return prim_out, t_out, overflow
