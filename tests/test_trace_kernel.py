@@ -4,6 +4,7 @@ and brute force."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from vulkan_renderer_tpu.render import trace_kernel as tk
 from vulkan_renderer_tpu.render import wavefront as wf
@@ -80,6 +81,58 @@ def test_two_level_cull_matches_bruteforce():
         # and misses must be accounted by the counter.
         assert not (got & ~ref).any()
         assert (ref & ~got).sum() <= int(overflow)
+
+
+@pytest.mark.slow
+def test_pipeline_pallas_trace_matches_bruteforce():
+    """Full frame through the Pallas trace path (traversal='pallas',
+    interpret on CPU) vs brute force: exercises the pipeline wiring —
+    Morton ray permutation + inverse, shadow megabatch layout, counters."""
+    import dataclasses
+    import tempfile
+
+    from vulkan_renderer_tpu.assets.noise import NoiseType
+    from vulkan_renderer_tpu.core.settings import (PolygonSamplingTechnique,
+                                                   RenderSettings,
+                                                   SamplingStrategy)
+    from vulkan_renderer_tpu.render.pipeline import (make_frame_constants,
+                                                     render_frame_jit)
+    from vulkan_renderer_tpu.render.shading import SceneStatic
+    from vulkan_renderer_tpu.scene.camera import FirstPersonCamera
+    from vulkan_renderer_tpu.scene.lights import PolygonalLightSpec
+    from vulkan_renderer_tpu.scene.scene import load_scene
+    from vulkan_renderer_tpu.tools.export_scene import write_test_scene
+
+    d = tempfile.mkdtemp(prefix="pallas_pipe_")
+    vks = write_test_scene(d, "cornell_box", texture_resolution=16)
+    light = PolygonalLightSpec(
+        translation=np.array([1.0, 1.0, 1.99], np.float32),
+        rotation_angles=np.array([np.pi, 0, 0], np.float32),
+        scaling_x=0.4, scaling_y=0.4,
+        radiant_flux=np.array([40.0, 35.0, 30.0], np.float32))
+    scene = load_scene(vks, d + "/cornell_box_textures", [light],
+                      noise_type=NoiseType.WHITE, data_directory=d)
+    camera = FirstPersonCamera(
+        position_world_space=np.array([1.0, 0.15, 1.0], np.float32),
+        rotation_x=0.6 * np.pi, rotation_z=np.pi)
+    settings = RenderSettings(
+        sampling_strategy=SamplingStrategy.DIFFUSE_ONLY,
+        polygon_sampling_technique=(
+            PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE),
+        sample_count=1, trace_shadow_rays=True, output_linear_rgb=True)
+    base = SceneStatic(light_count=1, light_texturing=(0,),
+                       light_vertex_counts=(4,))
+    constants = make_frame_constants(
+        camera, 24, 24, settings, (np.arange(4) * 0x123456).astype(np.uint32))
+    ref = np.asarray(render_frame_jit(
+        scene, dataclasses.replace(base, traversal="bruteforce"), settings,
+        constants, 24, 24))
+    img, stats = render_frame_jit(
+        scene, dataclasses.replace(base, traversal="pallas"), settings,
+        constants, 24, 24, with_stats=True)
+    assert int(stats.primary_uncertain) == 0
+    assert int(stats.shadow_overflow) == 0
+    np.testing.assert_allclose(np.asarray(img), ref, atol=2e-3)
 
 
 def test_anyhit_fused_overflow_reported():

@@ -73,7 +73,8 @@ def _pixel_preamble(scene: Scene, static: SceneStatic,
     safe_prim = jnp.where(hit, primitive_index, 0).astype(jnp.int32)
 
     data = get_shading_data(scene, constants, constants.roughness_factor,
-                            safe_prim, ray_direction)
+                            safe_prim, ray_direction,
+                            max_anisotropy=static.max_anisotropy)
 
     base = jnp.zeros(3)
     view_dir = normalize(ray_direction)
@@ -217,16 +218,26 @@ def _render_frame_body(scene, static, settings, constants, width, height,
     shadow_overflow = jnp.int32(0)
     traversal = static.resolved_traversal(
         int(scene.triangle_positions.shape[0]))
-    use_pallas_trace = traversal == "wavefront" \
-        and jax.default_backend() != "cpu"
+    # "pallas" forces the Pallas tracer even on CPU (interpret mode, for
+    # tests of the pipeline wiring incl. the Morton permutation).
+    trace_interpret = jax.default_backend() == "cpu"
+    use_pallas_trace = traversal == "pallas" \
+        or (traversal == "wavefront" and not trace_interpret)
     if use_pallas_trace:
-        from .trace_kernel import trace_anyhit_fused, trace_closest_fused
-        primitive_index_i, _, primary_uncertain = trace_closest_fused(
+        from .trace_kernel import (morton_pixel_permutation,
+                                   trace_anyhit_fused, trace_closest_fused)
+        # Morton-tiled ray order: each trace chunk becomes a compact ~45x45
+        # pixel tile instead of a 2-row strip, shrinking the per-chunk
+        # cluster union the budgets must cover.
+        perm_np, inv_np = morton_pixel_permutation(width, height)
+        perm = jnp.asarray(perm_np)
+        inv_perm = jnp.asarray(inv_np)
+        prim_p, _, primary_uncertain = trace_closest_fused(
             scene.clusters,
             jnp.broadcast_to(constants.camera_position, ray_dirs.shape),
-            ray_dirs, chunk_rows=static.trace_chunk_rows,
-            m_budget=static.primary_m_budget)
-        primitive_index = primitive_index_i
+            ray_dirs[perm], chunk_rows=static.trace_chunk_rows,
+            m_budget=static.primary_m_budget, interpret=trace_interpret)
+        primitive_index = prim_p[inv_perm]
     elif traversal == "wavefront":
         primitive_index, _, primary_uncertain = trace_closest(
             scene.clusters, constants.camera_position, ray_dirs,
@@ -277,18 +288,28 @@ def _render_frame_body(scene, static, settings, constants, width, height,
         # then share one light and a contiguous image region, which keeps
         # each chunk's cluster union small (the per-chunk compaction
         # budget covers it).
-        flat_origins = jnp.tile(origins, (s, 1))
-        flat_dirs = dirs.transpose(1, 0, 2).reshape(-1, 3)
-        flat_tmax = tmax.T.reshape(-1)
+        if use_pallas_trace:
+            # Same Morton pixel order inside each sample slot: a shadow
+            # chunk is then one light x one compact image tile.
+            origins_s = origins[perm]
+            dirs_s = dirs[perm]
+            tmax_s = tmax[perm]
+            b_s = b[perm]
+        else:
+            origins_s, dirs_s, tmax_s, b_s = origins, dirs, tmax, b
+        flat_origins = jnp.tile(origins_s, (s, 1))
+        flat_dirs = dirs_s.transpose(1, 0, 2).reshape(-1, 3)
+        flat_tmax = tmax_s.T.reshape(-1)
         # Rays with zero weight cannot contribute; collapse their range so
         # the cull rejects them immediately.
-        live = jnp.any(b.transpose(1, 0, 2).reshape(-1, 3) != 0.0, axis=-1)
+        live = jnp.any(b_s.transpose(1, 0, 2).reshape(-1, 3) != 0.0,
+                       axis=-1)
         flat_tmax = jnp.where(live, flat_tmax, -1.0)
         if use_pallas_trace:
             occluded, shadow_overflow = trace_anyhit_fused(
                 scene.clusters, flat_origins, flat_dirs, flat_tmax,
                 chunk_rows=static.trace_chunk_rows,
-                m_budget=static.shadow_m_budget)
+                m_budget=static.shadow_m_budget, interpret=trace_interpret)
         elif traversal == "wavefront":
             occluded, shadow_overflow = trace_anyhit(
                 scene.clusters, flat_origins, flat_dirs, flat_tmax,
@@ -300,6 +321,8 @@ def _render_frame_body(scene, static, settings, constants, width, height,
             occluded = trace_anyhit_bruteforce(
                 scene.triangle_positions, flat_origins, flat_dirs, flat_tmax)
         visibility = jnp.where(occluded, 0.0, 1.0).reshape(s, p).T
+        if use_pallas_trace:
+            visibility = visibility[inv_perm]
     else:
         visibility = jnp.ones(b.shape[:2])
 

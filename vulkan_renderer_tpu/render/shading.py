@@ -78,6 +78,12 @@ class SceneStatic:
     trace_chunk_rows: int = 16
     primary_m_budget: int = 64
     shadow_m_budget: int = 48
+    # Material-sampler anisotropic filtering taps (reference:
+    # scene.c:546-557 enables maxAnisotropy=16 in hardware). Default 1 =
+    # isotropic trilinear: each extra tap is a full trilinear gather per
+    # pixel on the hottest gather path, so the software cost is linear
+    # where the reference's is free.
+    max_anisotropy: int = 1
 
     def resolved_traversal(self, triangle_count: int) -> str:
         if self.traversal != "auto":
@@ -130,9 +136,14 @@ def error_to_color(error, error_factor):
 # ---------------------------------------------------------------------------
 
 def get_shading_data(scene, constants: FrameConstants,
-                     roughness_factor, primitive_index, ray_direction):
+                     roughness_factor, primitive_index, ray_direction,
+                     max_anisotropy: int = 1):
     """Recover full shading data by re-intersecting the view ray with the
-    visible triangle; unbatched (one pixel)."""
+    visible triangle; unbatched (one pixel). max_anisotropy mirrors the
+    reference material sampler's anisotropic filtering (scene.c:546-557,
+    maxAnisotropy=16); the default of 1 keeps the single-trilinear gather
+    cost (each anisotropy tap adds a full trilinear fetch on the hottest
+    gather path)."""
     positions = scene.triangle_positions[primitive_index]   # (3, 3)
     normals = scene.triangle_normals[primitive_index]
     tex_coords = scene.triangle_tex_coords[primitive_index]
@@ -153,7 +164,8 @@ def get_shading_data(scene, constants: FrameConstants,
     # One 8-channel fetch: [base.rgb, specular.rgb, normal.xy].
     texel = sample_texture_grad(
         scene.material_atlas, material_index, tex_coord,
-        tex_coord_derivs[0], tex_coord_derivs[1])
+        tex_coord_derivs[0], tex_coord_derivs[1],
+        max_anisotropy=max_anisotropy)
     base_color = texel[0:3]
     specular_data = texel[3:6]
     normal_ts_xy = texel[6:8] * 2.0 - 1.0

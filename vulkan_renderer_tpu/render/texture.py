@@ -105,22 +105,58 @@ def _bilinear_wrap(atlas: TextureAtlas, tex_index, level, uv):
     return top + fy[..., None] * (bottom - top)
 
 
-def sample_texture_grad(atlas: TextureAtlas, tex_index, uv, duv_dx, duv_dy):
-    """textureGrad equivalent: trilinear with derivative-driven LOD."""
-    w0 = atlas.mip_width[tex_index, 0].astype(jnp.float32)
-    h0 = atlas.mip_height[tex_index, 0].astype(jnp.float32)
-    # Isotropic footprint (Vulkan spec rho = max of scaled derivative norms).
-    rho_x = jnp.sqrt((duv_dx[..., 0] * w0) ** 2 + (duv_dx[..., 1] * h0) ** 2)
-    rho_y = jnp.sqrt((duv_dy[..., 0] * w0) ** 2 + (duv_dy[..., 1] * h0) ** 2)
-    rho = jnp.maximum(jnp.maximum(rho_x, rho_y), 1e-12)
-    max_level = (atlas.mip_count[tex_index] - 1).astype(jnp.float32)
-    lod = jnp.clip(jnp.log2(rho), 0.0, max_level)
+def _trilinear(atlas: TextureAtlas, tex_index, uv, lod):
     l0 = jnp.floor(lod).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, atlas.mip_count[tex_index] - 1)
     frac = lod - l0.astype(jnp.float32)
     c0 = _bilinear_wrap(atlas, tex_index, l0, uv)
     c1 = _bilinear_wrap(atlas, tex_index, l1, uv)
     return c0 + frac[..., None] * (c1 - c0)
+
+
+def sample_texture_grad(atlas: TextureAtlas, tex_index, uv, duv_dx, duv_dy,
+                        max_anisotropy: int = 1):
+    """textureGrad equivalent.
+
+    max_anisotropy=1: trilinear with the isotropic footprint LOD (Vulkan
+    spec rho = max of scaled derivative norms). max_anisotropy>1: the
+    Vulkan anisotropic model the reference's material sampler enables
+    (scene.c:546-557, maxAnisotropy=16): N = clamp(rho_max/rho_min, 1, A)
+    taps spaced along the MAJOR footprint axis, each a trilinear fetch at
+    lod = log2(rho_max/N) — sharper at grazing angles than the isotropic
+    blur. N is static (unrolled); taps beyond the per-pixel ratio merge
+    onto the footprint center via offset scaling, matching the spec's
+    "implementation may round N" latitude."""
+    w0 = atlas.mip_width[tex_index, 0].astype(jnp.float32)
+    h0 = atlas.mip_height[tex_index, 0].astype(jnp.float32)
+    scale = jnp.stack([w0, h0], axis=-1)
+    dx = duv_dx[..., :2] * scale
+    dy = duv_dy[..., :2] * scale
+    rho_x = jnp.sqrt(jnp.sum(dx * dx, axis=-1))
+    rho_y = jnp.sqrt(jnp.sum(dy * dy, axis=-1))
+    rho_max = jnp.maximum(jnp.maximum(rho_x, rho_y), 1e-12)
+    max_level = (atlas.mip_count[tex_index] - 1).astype(jnp.float32)
+    if max_anisotropy <= 1:
+        lod = jnp.clip(jnp.log2(rho_max), 0.0, max_level)
+        return _trilinear(atlas, tex_index, uv, lod)
+    rho_min = jnp.maximum(jnp.minimum(rho_x, rho_y), 1e-12)
+    eta = jnp.minimum(rho_max / rho_min, float(max_anisotropy))
+    lod = jnp.clip(jnp.log2(rho_max / eta), 0.0, max_level)
+    # Major axis in UV space (unscaled derivatives).
+    major_is_x = rho_x >= rho_y
+    major = jnp.where(major_is_x[..., None], duv_dx[..., :2],
+                      duv_dy[..., :2])
+    taps = int(max_anisotropy)
+    # Tap centers at (i+0.5)/eta' - 0.5 of the major axis with eta' = eta;
+    # compress the fixed tap ladder into the actual [−1/2, 1/2]·(1−1/eta)
+    # span so eta < taps degrades smoothly toward the footprint center.
+    out = None
+    for i in range(taps):
+        t = (i + 0.5) / taps - 0.5
+        offs = major * (t * (1.0 - 1.0 / eta) * 2.0)[..., None]
+        c = _trilinear(atlas, tex_index, uv + offs, lod)
+        out = c if out is None else out + c
+    return out / taps
 
 
 def sample_texture_lod0(atlas: TextureAtlas, tex_index, uv):

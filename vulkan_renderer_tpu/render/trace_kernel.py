@@ -47,88 +47,142 @@ INVALID = jnp.uint32(0xFFFFFFFF)
 # two-level acceleration structure (scene.c:142-406).
 _TWO_LEVEL_MIN_CLUSTERS = 1024
 _SC_GROUP = 64
-_SC_BUDGET = 20
+_SC_BUDGET = 32
+
+
+@functools.lru_cache(maxsize=8)
+def morton_pixel_permutation(width: int, height: int) -> tuple:
+    """(perm, inv_perm) int32 arrays reordering row-major pixel indices
+    along a Morton curve. Scan-order ray chunks are ~2-row strips whose
+    frustums cross many clusters; Morton chunks are compact ~45x45 tiles
+    with far tighter per-chunk cluster unions (the budget/exactness
+    driver for the union-cull tracer)."""
+    bits = max(int(np.ceil(np.log2(max(width, height)))), 1)
+    n = 1 << bits
+    xs = np.arange(n, dtype=np.uint64)
+    spread = np.zeros(n, np.uint64)
+    for b in range(bits):
+        spread |= ((xs >> np.uint64(b)) & np.uint64(1)) << np.uint64(2 * b)
+    code = (spread[None, :] | (spread[:, None] << np.uint64(1)))  # (y, x)
+    code = code[:height, :width].reshape(-1)
+    perm = np.argsort(code, kind="stable").astype(np.int32)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=np.int32)
+    return perm, inv
 
 
 def _supercluster_aabbs(clusters: Clusters):
-    """Grouped AABBs, padded so every supercluster has _SC_GROUP members
-    (padding members get empty AABBs that no slab test can hit)."""
+    """Grouped AABBs, padded so every supercluster has _SC_GROUP members.
+
+    Padding members use NaN AABBs: every slab comparison on NaN is False,
+    so they can never test as hit. (+/-inf "empty" boxes do NOT work here:
+    (lo-o)*inv = -inf and +inf per axis make t_near=-inf <= t_far=+inf
+    pass the slab test — a phantom hit.)"""
     k = clusters.cluster_count
     ks = -(-k // _SC_GROUP)
     pad = ks * _SC_GROUP - k
     lo = jnp.concatenate(
-        [clusters.aabb_lo, jnp.full((pad, 3), jnp.inf)]) if pad \
+        [clusters.aabb_lo, jnp.full((pad, 3), jnp.nan)]) if pad \
         else clusters.aabb_lo
     hi = jnp.concatenate(
-        [clusters.aabb_hi, jnp.full((pad, 3), -jnp.inf)]) if pad \
+        [clusters.aabb_hi, jnp.full((pad, 3), jnp.nan)]) if pad \
         else clusters.aabb_hi
-    sc_lo = lo.reshape(ks, _SC_GROUP, 3).min(axis=1)
-    sc_hi = hi.reshape(ks, _SC_GROUP, 3).max(axis=1)
+    valid_lo = jnp.where(jnp.isnan(lo), jnp.inf, lo)
+    valid_hi = jnp.where(jnp.isnan(hi), -jnp.inf, hi)
+    sc_lo = valid_lo.reshape(ks, _SC_GROUP, 3).min(axis=1)
+    sc_hi = valid_hi.reshape(ks, _SC_GROUP, 3).max(axis=1)
     return lo, hi, sc_lo, sc_hi
+
+
+def _nearest_k(t_sel, ids, budget: int):
+    """Select the `budget` entries with smallest t (finite first) plus the
+    t of the FIRST DROPPED entry (inf when nothing was dropped).
+
+    Returns (sel_ids, valid, t_bound)."""
+    n = t_sel.shape[0]
+    take = min(budget + 1, n)
+    vals, pos = jax.lax.top_k(-t_sel, take)
+    sel_t = -vals
+    sel_ids = ids[pos[:budget]] if budget < n else ids[pos]
+    valid = jnp.isfinite(sel_t[:budget] if budget < n else sel_t)
+    t_bound = sel_t[budget] if budget < n else jnp.float32(jnp.inf)
+    if budget >= n:
+        sel_pad = budget - n
+        if sel_pad:
+            sel_ids = jnp.concatenate(
+                [sel_ids, jnp.zeros((sel_pad,), sel_ids.dtype)])
+            valid = jnp.concatenate(
+                [valid, jnp.zeros((sel_pad,), jnp.bool_)])
+    return sel_ids.astype(jnp.int32), valid, t_bound
 
 
 def _union_cull(clusters: Clusters, origins, dirs, t_max, chunk: int,
                 m_budget: int):
-    """Per-chunk union of slab-hit clusters, compacted to m_budget ids.
+    """Per-chunk union of slab-hit clusters, compacted FRONT-TO-BACK to
+    the m_budget nearest (by chunk-min slab entry t) — deep chunks keep
+    their near geometry and push drops far away, mirroring the XLA
+    tracer's nearest-first cull (wavefront.py _cull_topk_nearest).
 
-    Returns (ids (NC*M,) i32, valid (NC*M,) i32, overflow (), NC).
-    Overflow counts clusters that may intersect the chunk's rays but were
-    dropped by a budget (m_budget or, two-level, _SC_BUDGET) — results are
-    exact iff it is zero, same contract as render/wavefront.py."""
+    Returns (ids (NC*M,) i32, valid (NC*M,) i32, t_bound (NC,) f32,
+    dropped (), NC). t_bound is the slab entry of the first dropped
+    cluster (inf when exact): any per-ray result with t <= t_bound is
+    provably exact. `dropped` counts potentially-hit dropped clusters."""
     k = clusters.cluster_count
     (o_c, d_c, t_c), r = _chunk_rows([origins, dirs, t_max], chunk)
     two_level = k > _TWO_LEVEL_MIN_CLUSTERS
     if two_level:
         pad_lo, pad_hi, sc_lo, sc_hi = _supercluster_aabbs(clusters)
         ks = sc_lo.shape[0]
-        sc_score_lane = ks - jnp.arange(ks, dtype=jnp.int32)
         member_offsets = jnp.arange(_SC_GROUP, dtype=jnp.int32)
-    lane_score = k - jnp.arange(k, dtype=jnp.int32)
+    all_ids = jnp.arange(k, dtype=jnp.int32)
 
     def body(_, args):
         o, d, t = args
         if two_level:
-            sc_mask, _ = _slab_mask(sc_lo, sc_hi, o, d, t)
-            sc_union = jnp.any(sc_mask, axis=0)
-            sc_vals, sc_ids = jax.lax.top_k(
-                jnp.where(sc_union, sc_score_lane, 0),
-                min(_SC_BUDGET, ks))
-            sc_valid = sc_vals > 0
-            # Dropped superclusters: anything inside may be missed.
-            sc_overflow = (jnp.sum(sc_union, dtype=jnp.int32)
-                           - jnp.sum(sc_valid, dtype=jnp.int32)) \
-                * jnp.int32(_SC_GROUP)
+            sc_mask, sc_near = _slab_mask(sc_lo, sc_hi, o, d, t)
+            sc_t = jnp.min(jnp.where(sc_mask, sc_near, jnp.inf), axis=0)
+            sc_ids, sc_valid, sc_bound = _nearest_k(
+                sc_t, jnp.arange(ks, dtype=jnp.int32), min(_SC_BUDGET, ks))
+            sc_dropped = jnp.sum(jnp.isfinite(sc_t), dtype=jnp.int32) \
+                - jnp.sum(sc_valid, dtype=jnp.int32)
             member_ids = (sc_ids[:, None] * _SC_GROUP
                           + member_offsets[None, :]).reshape(-1)
-            # Padded/dropped superclusters contribute empty AABBs.
+            # Padded/dropped superclusters contribute NaN AABBs (never
+            # hit; see _supercluster_aabbs on why not +/-inf).
             sel_lo = jnp.where(sc_valid[:, None, None],
                                pad_lo[member_ids].reshape(
-                                   -1, _SC_GROUP, 3), jnp.inf).reshape(-1, 3)
+                                   -1, _SC_GROUP, 3), jnp.nan).reshape(-1, 3)
             sel_hi = jnp.where(sc_valid[:, None, None],
                                pad_hi[member_ids].reshape(
-                                   -1, _SC_GROUP, 3), -jnp.inf).reshape(-1, 3)
-            mask, _ = _slab_mask(sel_lo, sel_hi, o, d, t)
-            union = jnp.any(mask, axis=0)
-            # Score must order by GLOBAL cluster id for determinism.
-            score = jnp.where(union, k - member_ids, 0)
-            vals, pos = jax.lax.top_k(score, min(m_budget, union.shape[0]))
-            ids = member_ids[pos]
-            valid = vals > 0
-            overflow = sc_overflow + jnp.sum(union, dtype=jnp.int32) \
+                                   -1, _SC_GROUP, 3), jnp.nan).reshape(-1, 3)
+            mask, t_near = _slab_mask(sel_lo, sel_hi, o, d, t)
+            t_sel = jnp.min(jnp.where(mask, t_near, jnp.inf), axis=0)
+            ids, valid, t_bound = _nearest_k(
+                t_sel, member_ids, min(m_budget, member_ids.shape[0]))
+            # A dropped supercluster may hide nearer geometry than any
+            # dropped member cluster.
+            t_bound = jnp.minimum(t_bound, sc_bound)
+            dropped = sc_dropped * jnp.int32(_SC_GROUP) \
+                + jnp.sum(jnp.isfinite(t_sel), dtype=jnp.int32) \
                 - jnp.sum(valid, dtype=jnp.int32)
         else:
-            mask, _ = _slab_mask(clusters.aabb_lo, clusters.aabb_hi, o, d, t)
-            union = jnp.any(mask, axis=0)
-            score = jnp.where(union, lane_score, 0)
-            vals, ids = jax.lax.top_k(score, min(m_budget, k))
-            valid = vals > 0
-            overflow = jnp.sum(union, dtype=jnp.int32) \
+            mask, t_near = _slab_mask(clusters.aabb_lo, clusters.aabb_hi,
+                                      o, d, t)
+            t_sel = jnp.min(jnp.where(mask, t_near, jnp.inf), axis=0)
+            ids, valid, t_bound = _nearest_k(t_sel, all_ids,
+                                             min(m_budget, k))
+            dropped = jnp.sum(jnp.isfinite(t_sel), dtype=jnp.int32) \
                 - jnp.sum(valid, dtype=jnp.int32)
-        return None, (ids.astype(jnp.int32), valid.astype(jnp.int32),
-                      overflow)
+        return None, (ids, valid.astype(jnp.int32), t_bound, dropped)
 
-    _, (ids, valid, ovf) = jax.lax.scan(body, None, (o_c, d_c, t_c))
-    return ids.reshape(-1), valid.reshape(-1), jnp.sum(ovf), o_c.shape[0]
+    _, (ids, valid, t_bound, dropped) = jax.lax.scan(
+        body, None, (o_c, d_c, t_c))
+    # Invalid slots may carry padding member ids >= K; clamp so the
+    # kernel's scalar-prefetched DMA index map stays in bounds (valid
+    # gates all compute on those slots).
+    ids = jnp.clip(ids.reshape(-1), 0, k - 1)
+    return (ids, valid.reshape(-1), t_bound, jnp.sum(dropped),
+            o_c.shape[0])
 
 
 def _pack_rays(origins, dirs, t_max, chunk: int):
@@ -190,15 +244,19 @@ def _tri_scalars(tab_ref, t: int, c: int):
 def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
                        chunk_rows: int = 16, m_budget: int = 32,
                        t_min: float = 1.0e-3, interpret: bool = False):
-    """Any-hit (shadow) test. Returns (occluded bool (R,), overflow ())."""
+    """Any-hit (shadow) test. Returns (occluded bool (R,), overflow ()).
+
+    overflow counts LIVE rays whose un-occluded result lacks the exactness
+    guarantee (a budget-dropped cluster could still intersect their
+    segment); found occlusions are always definite."""
     origins = jnp.broadcast_to(origins, dirs.shape)
     t_max = jnp.broadcast_to(jnp.asarray(t_max), dirs.shape[:1])
     chunk = chunk_rows * _LANE
     m = min(m_budget, clusters.cluster_count)
     c = clusters.cluster_size
 
-    ids, valid, overflow, nc = _union_cull(clusters, origins, dirs, t_max,
-                                           chunk, m)
+    ids, valid, t_bound, _, nc = _union_cull(clusters, origins, dirs,
+                                             t_max, chunk, m)
     rays, r = _pack_rays(origins, dirs, t_max, chunk)
     tab, aabb = _padded_tables(clusters)
     nr = rays.shape[1]
@@ -270,22 +328,35 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(ids, valid, rays, tab, aabb)
-    occluded = out.reshape(-1)[:r] > 0.5
-    return occluded, overflow
+    occluded = out.reshape(-1) > 0.5
+    # A found occlusion is definite; an UN-occluded ray is only guaranteed
+    # when no dropped cluster could intersect its [t_min, t_max] segment.
+    n_all = occluded.shape[0]
+    live = (jnp.arange(n_all) < r) \
+        & (rays.reshape(7, -1)[6] >= 0.0)
+    bound = jnp.repeat(t_bound, chunk)
+    overflow = jnp.sum(live & ~occluded
+                       & (bound < rays.reshape(7, -1)[6]),
+                       dtype=jnp.int32)
+    return occluded[:r], overflow
 
 
 def trace_closest_fused(clusters: Clusters, origins, dirs,
                         chunk_rows: int = 16, m_budget: int = 48,
                         t_min: float = 1.0e-3, interpret: bool = False):
-    """Closest hit. Returns (prim uint32 (R,), t (R,), uncertain ())."""
+    """Closest hit. Returns (prim uint32 (R,), t (R,), uncertain ()).
+
+    uncertain counts rays whose best t exceeds the chunk's first-dropped-
+    cluster entry bound — only those could be wrong when budgets
+    overflow (front-to-back selection makes near hits provably exact)."""
     origins = jnp.broadcast_to(origins, dirs.shape)
     t_max = jnp.full(dirs.shape[:1], jnp.inf, jnp.float32)
     chunk = chunk_rows * _LANE
     m = min(m_budget, clusters.cluster_count)
     c = clusters.cluster_size
 
-    ids, valid, overflow, nc = _union_cull(clusters, origins, dirs, t_max,
-                                           chunk, m)
+    ids, valid, t_bound, _, nc = _union_cull(clusters, origins, dirs,
+                                             t_max, chunk, m)
     rays, r = _pack_rays(origins, dirs, t_max, chunk)
     tab, aabb = _padded_tables(clusters)
     nr = rays.shape[1]
@@ -368,10 +439,12 @@ def trace_closest_fused(clusters: Clusters, origins, dirs,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(ids, valid, rays, tab, aabb)
-    t_out = t_out.reshape(-1)[:r]
+    t_flat = t_out.reshape(-1)
+    live = jnp.arange(t_flat.shape[0]) < r
+    uncertain = jnp.sum(live & (t_flat > jnp.repeat(t_bound, chunk)),
+                        dtype=jnp.int32)
+    t_out = t_flat[:r]
     prim_out = prim_out.reshape(-1)[:r]
     prim_out = jnp.where(jnp.isfinite(t_out), prim_out.astype(jnp.uint32),
                          INVALID)
-    # A dropped union cluster could hide the true closest hit anywhere in
-    # the chunk; report the pair count like the wavefront tracer.
-    return prim_out, t_out, overflow
+    return prim_out, t_out, uncertain
