@@ -252,6 +252,7 @@ def test_fused_matches_reference(strategy, heuristic):
                                atol=1e-3)
 
 
+@pytest.mark.slow
 def test_pipeline_fused_matches_unfused():
     """Full render_frame_jit: fused (interpret) vs vmapped path."""
     import dataclasses
@@ -301,6 +302,7 @@ def test_pipeline_fused_matches_unfused():
     np.testing.assert_allclose(img_on, img_off, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_fused_pallas_interpret_matches_xla():
     rng = np.random.RandomState(5)
     specs = [PolygonalLightSpec(

@@ -9,6 +9,7 @@ def test_eight_virtual_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_sharded_render_matches_single(tmp_path):
     from vulkan_renderer_tpu.core.settings import (PolygonSamplingTechnique,
                                                    RenderSettings,
@@ -49,6 +50,7 @@ def test_sharded_render_matches_single(tmp_path):
     np.testing.assert_allclose(sharded, single, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)

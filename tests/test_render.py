@@ -61,6 +61,7 @@ def test_diffuse_techniques_agree(cornell):
         assert m == pytest.approx(base, rel=0.06), (tech, m, base)
 
 
+@pytest.mark.slow
 def test_combined_strategies_agree(cornell):
     """diffuse+specular strategies agree with each other (PSA technique)."""
     means = {}
@@ -81,6 +82,7 @@ def test_combined_strategies_agree(cornell):
     assert diffuse.mean() == pytest.approx(base, rel=0.08)
 
 
+@pytest.mark.slow
 def test_mis_heuristics_agree(cornell):
     means = {}
     for heuristic in [MisHeuristic.BALANCE, MisHeuristic.POWER,
@@ -151,6 +153,7 @@ def test_shadow_rays_darken(cornell):
     assert (shadowed <= lit + 1e-5).mean() > 0.995
 
 
+@pytest.mark.slow
 def test_hdr_bit_capture_roundtrip(cornell):
     """frame_bits 1/2 LDR pair recombines into the fp16 image
     (main.c:1700-1710 semantics)."""
@@ -178,6 +181,7 @@ def test_error_display_runs(cornell):
     assert np.isfinite(img).all()
 
 
+@pytest.mark.slow
 def test_all_13_techniques_run_and_agree(cornell):
     """Every polygon sampling technique from the paper's matrix
     (polygonal_light.h:30-69) renders finite images; the unbiased ones

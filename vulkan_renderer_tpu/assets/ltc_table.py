@@ -71,7 +71,10 @@ def load_ltc_table_files(directory: str, fresnel_count: int = 51) -> LtcTable:
     constants = make_ltc_constants(fresnel_count, resolution, resolution)
     merged = np.concatenate([np.stack(t0_slices), np.stack(t1_slices)],
                             axis=-1)
-    return LtcTable(table=jnp.asarray(merged), constants=constants)
+    from ..ops.ltc import make_quad_table
+    merged_j = jnp.asarray(merged)
+    return LtcTable(table=merged_j, constants=constants,
+                    quad=make_quad_table(merged_j))
 
 
 def save_ltc_table_files(directory: str, records: np.ndarray) -> None:
@@ -131,7 +134,10 @@ def identity_ltc_table(roughness_count: int = 32, inclination_count: int = 32,
         f0[:, None, None])
     table1[..., 1] = albedo
     merged = np.concatenate([table0, table1], axis=-1)
-    return LtcTable(table=jnp.asarray(merged), constants=constants)
+    from ..ops.ltc import make_quad_table
+    merged_j = jnp.asarray(merged)
+    return LtcTable(table=merged_j, constants=constants,
+                    quad=make_quad_table(merged_j))
 
 
 _BUILTIN_DIRECTORY = os.path.join(os.path.dirname(__file__), "..",

@@ -36,6 +36,20 @@ class LtcTable(NamedTuple):
     """
     table: jnp.ndarray
     constants: LtcConstants
+    # Optional precomputed corner-quad view (L, H, W, 24): channels are
+    # the four bilinear corners [(y,x), (y,x+1), (y+1,x), (y+1,x+1)] with
+    # clamp-to-edge, so the per-pixel fetch is ONE row gather instead of
+    # four (gathers pay per row on TPU). Built by make_quad_table at scene
+    # load; None falls back to the 4-gather path.
+    quad: jnp.ndarray | None = None
+
+
+def make_quad_table(table: jnp.ndarray) -> jnp.ndarray:
+    """(L, H, W, C) -> (L, H, W, 4C) clamp-to-edge corner quads."""
+    tx = jnp.concatenate([table[:, :, 1:], table[:, :, -1:]], axis=2)
+    ty = jnp.concatenate([table[:, 1:], table[:, -1:]], axis=1)
+    txy = jnp.concatenate([ty[:, :, 1:], ty[:, :, -1:]], axis=2)
+    return jnp.concatenate([table, tx, ty, txy], axis=-1)
 
 
 class LtcCoefficients(NamedTuple):
@@ -48,25 +62,32 @@ class LtcCoefficients(NamedTuple):
     shading_to_cosine_space_determinant: jnp.ndarray  # ()
 
 
-def _bilinear_fetch(table, texcoord_x, texcoord_y, layer):
+def _bilinear_fetch(table, texcoord_x, texcoord_y, layer, quad=None):
     """Bilinear clamp-to-edge lookup in a (L, H, W, C) array; texcoords in
     [0,1] address texel centers at (i+0.5)/N like Vulkan samplers; the layer
     is rounded to nearest (the reference picks the layer via integer-valued
-    texcoord on an array texture)."""
+    texcoord on an array texture). With `quad` (see make_quad_table) all
+    four corners come from a single row gather."""
     layers, height, width = table.shape[0], table.shape[1], table.shape[2]
+    c = table.shape[-1]
     x = jnp.clip(texcoord_x * width - 0.5, 0.0, width - 1.0)
     y = jnp.clip(texcoord_y * height - 0.5, 0.0, height - 1.0)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, width - 1)
-    y1 = jnp.minimum(y0 + 1, height - 1)
     fx = x - x0.astype(F32)
     fy = y - y0.astype(F32)
     li = jnp.clip(jnp.round(layer).astype(jnp.int32), 0, layers - 1)
-    t00 = table[li, y0, x0]
-    t01 = table[li, y0, x1]
-    t10 = table[li, y1, x0]
-    t11 = table[li, y1, x1]
+    if quad is not None:
+        q = quad[li, y0, x0]
+        t00, t01 = q[..., 0:c], q[..., c:2 * c]
+        t10, t11 = q[..., 2 * c:3 * c], q[..., 3 * c:4 * c]
+    else:
+        x1 = jnp.minimum(x0 + 1, width - 1)
+        y1 = jnp.minimum(y0 + 1, height - 1)
+        t00 = table[li, y0, x0]
+        t01 = table[li, y0, x1]
+        t10 = table[li, y1, x0]
+        t11 = table[li, y1, x1]
     top = t00 + fx[..., None] * (t01 - t00)
     bottom = t10 + fx[..., None] * (t11 - t10)
     return top + fy[..., None] * (bottom - top)
@@ -84,7 +105,8 @@ def get_ltc_coefficients(table: LtcTable, fresnel_0, roughness,
     layer = jnp.clip(fresnel_0, 0.0, 1.0) * c.fresnel_index_factor \
         + c.fresnel_index_summand
 
-    data = _bilinear_fetch(table.table, tex_x, tex_y, layer)
+    data = _bilinear_fetch(table.table, tex_x, tex_y, layer,
+                           quad=table.quad)
     data_0 = data[..., 0:4]
     data_1 = data[..., 4:6]
 
@@ -111,9 +133,26 @@ def get_ltc_coefficients(table: LtcTable, fresnel_0, roughness,
     x_axis = normalize(-normal_dot_outgoing[..., None] * world_normal + world_outgoing)
     y_axis = jnp.cross(world_normal, x_axis)
     rotation = jnp.stack([x_axis, y_axis, world_normal], axis=-2)  # rows
-    translation = -jnp.einsum("...ij,...j->...i", rotation, world_position)
+    # Elementwise instead of einsum: per-pixel 3x3 "matmuls" lower to
+    # batched tiny dot_generals that waste the MXU; written out they are
+    # a handful of fully lane-parallel VPU mul-adds.
+    translation = -jnp.stack(
+        [jnp.sum(x_axis * world_position, axis=-1),
+         jnp.sum(y_axis * world_position, axis=-1),
+         jnp.sum(world_normal * world_position, axis=-1)], axis=-1)
     world_to_shading = jnp.concatenate([rotation, translation[..., None]], axis=-1)
-    world_to_cosine = jnp.einsum("...ij,...jk->...ik", m, world_to_shading)
+    # world_to_cosine = m @ world_to_shading, exploiting m's sparsity
+    # (rows: [a 0 b], [0 c 0], [-d 0 e]).
+    a = data_0[..., 0:1, None]
+    b = data_0[..., 3:4, None]
+    cdiag = data_0[..., 2:3, None]
+    dneg = data_0[..., 1:2, None]
+    e = data_1[..., 0:1, None]
+    ws0 = world_to_shading[..., 0:1, :]
+    ws1 = world_to_shading[..., 1:2, :]
+    ws2 = world_to_shading[..., 2:3, :]
+    world_to_cosine = jnp.concatenate(
+        [a * ws0 + b * ws2, cdiag * ws1, -dneg * ws0 + e * ws2], axis=-2)
 
     return LtcCoefficients(
         world_to_shading_space=world_to_shading,
@@ -128,8 +167,8 @@ def get_ltc_coefficients(table: LtcTable, fresnel_0, roughness,
 def evaluate_ltc_density(ltc: LtcCoefficients, dir_shading_space,
                          rcp_projected_solid_angle):
     """LTC density w.r.t. solid angle (ltc_utility.glsl:103-108)."""
-    dir_cos = jnp.einsum("...ij,...j->...i", ltc.shading_to_cosine_space,
-                         dir_shading_space)
+    dir_cos = jnp.sum(ltc.shading_to_cosine_space
+                      * dir_shading_space[..., None, :], axis=-1)
     len_sq = jnp.sum(dir_cos * dir_cos, axis=-1)
     density = jnp.maximum(0.0, dir_cos[..., 2]) \
         * ltc.shading_to_cosine_space_determinant / (len_sq * len_sq)

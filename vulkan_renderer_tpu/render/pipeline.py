@@ -205,17 +205,6 @@ def render_frame_jit(scene: Scene, static: SceneStatic,
 
 def _render_frame_body(scene, static, settings, constants, width, height,
                        with_stats):
-    xs = jnp.arange(width, dtype=jnp.float32)
-    ys = jnp.arange(height, dtype=jnp.float32)
-    px, py = jnp.meshgrid(xs, ys, indexing="xy")
-    pixels_f = jnp.stack([px, py], axis=-1).reshape(-1, 2)
-    pixels_i = pixels_f.astype(jnp.int32)
-    # Integer pixel -> ray dir via the pixel_to_ray matrix (glsl:833).
-    ray_dirs = (jnp.concatenate([pixels_f, jnp.ones_like(pixels_f[:, :1])],
-                                axis=-1) @ constants.pixel_to_ray.T)
-
-    primary_uncertain = jnp.int32(0)
-    shadow_overflow = jnp.int32(0)
     traversal = static.resolved_traversal(
         int(scene.triangle_positions.shape[0]))
     # "pallas" forces the Pallas tracer even on CPU (interpret mode, for
@@ -223,21 +212,34 @@ def _render_frame_body(scene, static, settings, constants, width, height,
     trace_interpret = jax.default_backend() == "cpu"
     use_pallas_trace = traversal == "pallas" \
         or (traversal == "wavefront" and not trace_interpret)
+
+    xs = jnp.arange(width, dtype=jnp.float32)
+    ys = jnp.arange(height, dtype=jnp.float32)
+    px, py = jnp.meshgrid(xs, ys, indexing="xy")
+    pixels_f = jnp.stack([px, py], axis=-1).reshape(-1, 2)
     if use_pallas_trace:
-        from .trace_kernel import (morton_pixel_permutation,
-                                   trace_anyhit_fused, trace_closest_fused)
-        # Morton-tiled ray order: each trace chunk becomes a compact ~45x45
-        # pixel tile instead of a 2-row strip, shrinking the per-chunk
-        # cluster union the budgets must cover.
+        # The WHOLE frame runs in Morton pixel order: each trace chunk is
+        # then a compact ~64x32 pixel tile instead of a 2-row scan strip
+        # (far tighter per-chunk cluster unions), and the only reorder
+        # cost is one final gather of the colors — no per-stage permutes.
+        from .trace_kernel import morton_pixel_permutation
         perm_np, inv_np = morton_pixel_permutation(width, height)
-        perm = jnp.asarray(perm_np)
+        pixels_f = pixels_f[jnp.asarray(perm_np)]
         inv_perm = jnp.asarray(inv_np)
-        prim_p, _, primary_uncertain = trace_closest_fused(
+    pixels_i = pixels_f.astype(jnp.int32)
+    # Integer pixel -> ray dir via the pixel_to_ray matrix (glsl:833).
+    ray_dirs = (jnp.concatenate([pixels_f, jnp.ones_like(pixels_f[:, :1])],
+                                axis=-1) @ constants.pixel_to_ray.T)
+
+    primary_uncertain = jnp.int32(0)
+    shadow_overflow = jnp.int32(0)
+    if use_pallas_trace:
+        from .trace_kernel import trace_anyhit_fused, trace_closest_fused
+        primitive_index, _, primary_uncertain = trace_closest_fused(
             scene.clusters,
             jnp.broadcast_to(constants.camera_position, ray_dirs.shape),
-            ray_dirs[perm], chunk_rows=static.trace_chunk_rows,
+            ray_dirs, chunk_rows=static.trace_chunk_rows,
             m_budget=static.primary_m_budget, interpret=trace_interpret)
-        primitive_index = prim_p[inv_perm]
     elif traversal == "wavefront":
         primitive_index, _, primary_uncertain = trace_closest(
             scene.clusters, constants.camera_position, ray_dirs,
@@ -285,24 +287,15 @@ def _render_frame_body(scene, static, settings, constants, width, height,
         p = b.shape[0]
         # Sample-major megabatch layout: all pixels' rays for sample slot 0
         # (light 0), then slot 1, ... — rays within a wavefront row chunk
-        # then share one light and a contiguous image region, which keeps
-        # each chunk's cluster union small (the per-chunk compaction
-        # budget covers it).
-        if use_pallas_trace:
-            # Same Morton pixel order inside each sample slot: a shadow
-            # chunk is then one light x one compact image tile.
-            origins_s = origins[perm]
-            dirs_s = dirs[perm]
-            tmax_s = tmax[perm]
-            b_s = b[perm]
-        else:
-            origins_s, dirs_s, tmax_s, b_s = origins, dirs, tmax, b
-        flat_origins = jnp.tile(origins_s, (s, 1))
-        flat_dirs = dirs_s.transpose(1, 0, 2).reshape(-1, 3)
-        flat_tmax = tmax_s.T.reshape(-1)
+        # then share one light and a contiguous image region (a compact
+        # Morton tile on the Pallas path), which keeps each chunk's
+        # cluster union small.
+        flat_origins = jnp.tile(origins, (s, 1))
+        flat_dirs = dirs.transpose(1, 0, 2).reshape(-1, 3)
+        flat_tmax = tmax.T.reshape(-1)
         # Rays with zero weight cannot contribute; collapse their range so
         # the cull rejects them immediately.
-        live = jnp.any(b_s.transpose(1, 0, 2).reshape(-1, 3) != 0.0,
+        live = jnp.any(b.transpose(1, 0, 2).reshape(-1, 3) != 0.0,
                        axis=-1)
         flat_tmax = jnp.where(live, flat_tmax, -1.0)
         if use_pallas_trace:
@@ -321,8 +314,6 @@ def _render_frame_body(scene, static, settings, constants, width, height,
             occluded = trace_anyhit_bruteforce(
                 scene.triangle_positions, flat_origins, flat_dirs, flat_tmax)
         visibility = jnp.where(occluded, 0.0, 1.0).reshape(s, p).T
-        if use_pallas_trace:
-            visibility = visibility[inv_perm]
     else:
         visibility = jnp.ones(b.shape[:2])
 
@@ -334,6 +325,8 @@ def _render_frame_body(scene, static, settings, constants, width, height,
                        constants.exposure_factor, colors)
     colors = colors * constants.exposure_factor
     colors = _postprocess(colors, settings)
+    if use_pallas_trace:
+        colors = colors[inv_perm]  # Morton order -> row-major image
     image = colors.reshape(height, width, 3)
     if with_stats:
         return image, FrameStats(primary_uncertain, shadow_overflow)

@@ -144,9 +144,11 @@ def get_shading_data(scene, constants: FrameConstants,
     maxAnisotropy=16); the default of 1 keeps the single-trilinear gather
     cost (each anisotropy tap adds a full trilinear fetch on the hottest
     gather path)."""
-    positions = scene.triangle_positions[primitive_index]   # (3, 3)
-    normals = scene.triangle_normals[primitive_index]
-    tex_coords = scene.triangle_tex_coords[primitive_index]
+    # One packed 96-byte row gather instead of three (scene.shading_rows).
+    row = scene.shading_rows[primitive_index]
+    positions = row[0:9].reshape(3, 3)
+    normals = row[9:18].reshape(3, 3)
+    tex_coords = row[18:24].reshape(3, 2)
 
     bary, bary_derivs = ray_triangle_barycentrics(
         constants.camera_position, ray_direction, positions,
@@ -158,7 +160,8 @@ def get_shading_data(scene, constants: FrameConstants,
                               + bary[2] * normals[2])
     tex_coord = bary[0] * tex_coords[0] + bary[1] * tex_coords[1] \
         + bary[2] * tex_coords[2]
-    tex_coord_derivs = jnp.einsum("db,bu->du", bary_derivs, tex_coords)
+    tex_coord_derivs = jnp.sum(bary_derivs[:, :, None]
+                               * tex_coords[None, :, :], axis=1)
 
     material_index = scene.material_indices[primitive_index]
     # One 8-channel fetch: [base.rgb, specular.rgb, normal.xy].

@@ -24,11 +24,18 @@ import numpy as np
 
 
 class TextureAtlas(NamedTuple):
-    texels: jnp.ndarray      # (N, C) float32, all mips of all textures
+    texels: jnp.ndarray      # (N, C) float32/uint16, all mips of all textures
     mip_offset: jnp.ndarray  # (T, L) int32 start index of mip l of texture t
     mip_width: jnp.ndarray   # (T, L) int32
     mip_height: jnp.ndarray  # (T, L) int32
     mip_count: jnp.ndarray   # (T,) int32
+    # Optional (N, 4C) corner-quad view: texel (y, x) holds the four
+    # bilinear corners [(y,x), (y,x+1), (y+1,x), (y+1,x+1)] with REPEAT
+    # wrapping precomputed per mip. One row gather then serves a whole
+    # bilinear fetch — gathers pay per ROW on TPU (~37 ms per 518k rows
+    # on v5e regardless of row bytes), so this turns trilinear from 8
+    # gathers into 2.
+    quad: jnp.ndarray | None = None
 
     @property
     def max_levels(self) -> int:
@@ -36,8 +43,15 @@ class TextureAtlas(NamedTuple):
 
 
 def build_texture_atlas(textures: "list[list[np.ndarray]]",
-                        channels: int = 4) -> TextureAtlas:
-    """textures: per texture, list of (H, W, C) float32 mips."""
+                        channels: int = 4,
+                        dtype=np.float32) -> TextureAtlas:
+    """textures: per texture, list of (H, W, C) float32 mips.
+
+    dtype=np.uint16 stores texels as UNORM16 (dequantized after the
+    per-pixel gather): HALF the HBM gather traffic, and lossless for
+    material data — the reference's material textures are 8-bit BC
+    blocks (textures.c formats), so their decoded values fit u16
+    exactly. Keep float32 for HDR content (light probes)."""
     texel_list = []
     offsets, widths, heights, counts = [], [], [], []
     max_levels = max(len(mips) for mips in textures)
@@ -65,17 +79,43 @@ def build_texture_atlas(textures: "list[list[np.ndarray]]",
         widths.append(ws)
         heights.append(hs)
         counts.append(len(mips))
+    all_texels = np.concatenate(texel_list, axis=0)
+    if np.issubdtype(dtype, np.integer):
+        all_texels = np.round(np.clip(all_texels, 0.0, 1.0)
+                              * 65535.0).astype(dtype)
+    # Corner-quad view (see TextureAtlas.quad): built per mip with REPEAT
+    # wrapping, flattened in the same order as texels. 4x the atlas memory
+    # — skipped for very large atlases where HBM matters more than the
+    # extra gather rows.
+    quad_arr = None
+    if all_texels.shape[0] <= 32 * 1024 * 1024:
+        quads = []
+        cursor = 0
+        for mips in textures:
+            for m in mips:
+                h, w = m.shape[:2]
+                block = all_texels[cursor:cursor + h * w].reshape(h, w, -1)
+                qx = np.roll(block, -1, axis=1)
+                qy = np.roll(block, -1, axis=0)
+                qxy = np.roll(qy, -1, axis=1)
+                quads.append(np.concatenate([block, qx, qy, qxy], axis=-1)
+                             .reshape(h * w, -1))
+                cursor += h * w
+        quad_arr = jnp.asarray(np.concatenate(quads, axis=0))
     return TextureAtlas(
-        texels=jnp.asarray(np.concatenate(texel_list, axis=0)),
+        texels=jnp.asarray(all_texels),
         mip_offset=jnp.asarray(np.array(offsets, np.int32)),
         mip_width=jnp.asarray(np.array(widths, np.int32)),
         mip_height=jnp.asarray(np.array(heights, np.int32)),
         mip_count=jnp.asarray(np.array(counts, np.int32)),
+        quad=quad_arr,
     )
 
 
 def _bilinear_wrap(atlas: TextureAtlas, tex_index, level, uv):
-    """Bilinear fetch with repeat addressing at a given mip level."""
+    """Bilinear fetch with repeat addressing at a given mip level: one
+    quad-row gather when the atlas carries the precomputed corner view,
+    otherwise four texel gathers."""
     w = atlas.mip_width[tex_index, level]
     h = atlas.mip_height[tex_index, level]
     offset = atlas.mip_offset[tex_index, level]
@@ -89,17 +129,27 @@ def _bilinear_wrap(atlas: TextureAtlas, tex_index, level, uv):
     fy = y - y0
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-    #
 
-    def fetch(xi, yi):
-        xi = jnp.mod(xi, w)
-        yi = jnp.mod(yi, h)
-        return atlas.texels[offset + yi * w + xi]
+    def norm(t):
+        if jnp.issubdtype(t.dtype, jnp.integer):
+            t = t.astype(jnp.float32) * jnp.float32(1.0 / 65535.0)
+        return t
 
-    t00 = fetch(x0i, y0i)
-    t10 = fetch(x0i + 1, y0i)
-    t01 = fetch(x0i, y0i + 1)
-    t11 = fetch(x0i + 1, y0i + 1)
+    if atlas.quad is not None:
+        c = atlas.texels.shape[-1]
+        q = norm(atlas.quad[offset + jnp.mod(y0i, h) * w + jnp.mod(x0i, w)])
+        t00, t10 = q[..., 0:c], q[..., c:2 * c]
+        t01, t11 = q[..., 2 * c:3 * c], q[..., 3 * c:4 * c]
+    else:
+        def fetch(xi, yi):
+            xi = jnp.mod(xi, w)
+            yi = jnp.mod(yi, h)
+            return norm(atlas.texels[offset + yi * w + xi])
+
+        t00 = fetch(x0i, y0i)
+        t10 = fetch(x0i + 1, y0i)
+        t01 = fetch(x0i, y0i + 1)
+        t11 = fetch(x0i + 1, y0i + 1)
     top = t00 + fx[..., None] * (t10 - t00)
     bottom = t01 + fx[..., None] * (t11 - t01)
     return top + fy[..., None] * (bottom - top)

@@ -39,6 +39,11 @@ class Scene(NamedTuple):
     triangle_normals: jnp.ndarray     # (T, 3, 3) f32 (decoded octahedral)
     triangle_tex_coords: jnp.ndarray  # (T, 3, 2) f32
     material_indices: jnp.ndarray     # (T,) i32
+    # Per-triangle shading row [positions(9) normals(9) uvs(6)]: ONE
+    # contiguous 96-byte gather per pixel replaces four separate row
+    # gathers in get_shading_data — gathers on TPU pay per ROW, so
+    # merging rows is a direct 4x cut of the dominant preamble cost.
+    shading_rows: jnp.ndarray         # (T, 24) f32
     # Textures: one packed 8-channel texture per material
     # [base.rgb, specular.rgb, normal.xy]; index = material index.
     material_atlas: TextureAtlas
@@ -134,9 +139,11 @@ def build_scene(mesh: SceneMesh, texture_dir: str,
     normals = mesh.decoded_normals().reshape(-1, 3, 3)
     tex_coords = mesh.decoded_tex_coords().reshape(-1, 3, 2)
 
+    # u16 UNORM atlas: lossless for BC-decoded material data, halves the
+    # per-pixel gather traffic (render/texture.py build_texture_atlas).
     material_atlas = build_texture_atlas(
         _decode_material_textures(texture_dir, mesh.material_names),
-        channels=8)
+        channels=8, dtype=np.uint16)
 
     light_textures, path_to_index = _decode_light_textures(
         [spec.texture_file_path for spec in light_specs])
@@ -153,11 +160,15 @@ def build_scene(mesh: SceneMesh, texture_dir: str,
     bvh = build_bvh(positions)
     clusters = build_clusters(positions)
 
+    shading_rows = np.concatenate(
+        [positions.reshape(-1, 9), normals.reshape(-1, 9),
+         tex_coords.reshape(-1, 6)], axis=1).astype(np.float32)
     return Scene(
         triangle_positions=jnp.asarray(positions),
         triangle_normals=jnp.asarray(normals),
         triangle_tex_coords=jnp.asarray(tex_coords),
         material_indices=jnp.asarray(mesh.material_indices.astype(np.int32)),
+        shading_rows=jnp.asarray(shading_rows),
         material_atlas=material_atlas,
         lights=stack_lights(lights),
         linear_lights=stack_linear_lights(linear_light_specs or []),
