@@ -173,3 +173,37 @@ def test_default_ltc_table_loads():
     from vulkan_renderer_tpu.assets.ltc_table import default_ltc_table
     table = default_ltc_table()
     assert table.table.ndim == 4 and table.table.shape[-1] == 6
+    # Full reference fidelity: 51 Fresnel levels (ltc_table.c:31-47).
+    assert table.table.shape[0] == 51
+    assert table.quad is not None
+
+
+def test_process_records_parity_with_reference_pipeline():
+    """_process_records must reproduce ltc_table.c:62-116 exactly: build
+    the inverse of M = [[d0,0,d1],[0,d2,0],[d3,0,1]] (cofactor form, no
+    determinant division), normalize by the max |entry|, reorder to the
+    two texture layouts, negate slot 1, quantize to u16 UNORM."""
+    rng = np.random.RandomState(11)
+    n = 64
+    d0 = 0.05 + rng.rand(n).astype(np.float32)
+    d1 = (rng.rand(n).astype(np.float32) - 0.5)
+    d2 = 0.05 + rng.rand(n).astype(np.float32)
+    d3 = (rng.rand(n).astype(np.float32) - 0.5) * 0.5
+    albedo = rng.rand(n).astype(np.float32)
+    records = np.stack([d0, d1, d2, d3, albedo], axis=-1)
+
+    from vulkan_renderer_tpu.assets.ltc_table import _process_records
+    got0, got1 = _process_records(records)
+
+    for i in range(n):
+        m = np.array([[d0[i], 0.0, d1[i]],
+                      [0.0, d2[i], 0.0],
+                      [d3[i], 0.0, 1.0]], np.float64)
+        inv = np.linalg.inv(m) * np.linalg.det(m)  # adjugate (cofactor)
+        inv /= np.abs(inv).max()
+        expect = np.array([inv[0, 0], -inv[0, 2], inv[1, 1],
+                           inv[2, 0], inv[2, 2], albedo[i]])
+        expect = np.floor(np.clip(expect, 0.0, 1.0) * 65535.0 + 0.5) / 65535.0
+        np.testing.assert_allclose(
+            np.concatenate([got0[i], got1[i]]), expect, atol=2e-5,
+            err_msg=f"record {i}")
