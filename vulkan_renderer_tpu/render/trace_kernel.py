@@ -98,7 +98,10 @@ def _nearest_k(t_sel, ids, budget: int):
     """Select the `budget` entries with smallest t (finite first) plus the
     t of the FIRST DROPPED entry (inf when nothing was dropped).
 
-    Returns (sel_ids, valid, t_bound)."""
+    Returns (sel_ids, valid, t_bound). INVALID slots repeat the last valid
+    id: the t-sort puts them in a contiguous tail, so the kernel's
+    per-step DMA block index stays constant through the tail and Pallas
+    skips the fetch entirely (compute is gated by `valid` anyway)."""
     n = t_sel.shape[0]
     take = min(budget + 1, n)
     vals, pos = jax.lax.top_k(-t_sel, take)
@@ -113,6 +116,9 @@ def _nearest_k(t_sel, ids, budget: int):
                 [sel_ids, jnp.zeros((sel_pad,), sel_ids.dtype)])
             valid = jnp.concatenate(
                 [valid, jnp.zeros((sel_pad,), jnp.bool_)])
+    n_valid = jnp.sum(valid, dtype=jnp.int32)
+    last_valid = sel_ids[jnp.maximum(n_valid - 1, 0)]
+    sel_ids = jnp.where(valid, sel_ids, last_valid)
     return sel_ids.astype(jnp.int32), valid, t_bound
 
 
