@@ -135,6 +135,33 @@ def test_pipeline_pallas_trace_matches_bruteforce():
     np.testing.assert_allclose(np.asarray(img), ref, atol=2e-3)
 
 
+def test_sliced_megabatch_matches_unsliced(monkeypatch):
+    """Large megabatches run as multiple bounded-SMEM pallas_calls
+    (lax.map slices); results must be identical to the single-call path."""
+    rng = np.random.RandomState(7)
+    tris = _scene(rng)
+    clusters = wf.build_clusters(tris, cluster_size=16)
+    o, d, tm = _rays(rng, n=2048)
+    ref, ref_ovf = tk.trace_anyhit_fused(clusters, o, d, tm, chunk_rows=2,
+                                         m_budget=64, interpret=True)
+    monkeypatch.setattr(tk, "_MIN_SLICE_CHUNKS", 2)
+    monkeypatch.setattr(tk, "_MAX_PREFETCH_BYTES", 1)
+    got, ovf = tk.trace_anyhit_fused(clusters, o, d, tm, chunk_rows=2,
+                                     m_budget=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    assert int(ovf) == int(ref_ovf)
+    origin = jnp.asarray(np.array([10.0, 10.0, 25.0], np.float32))
+    ob = jnp.broadcast_to(origin, d.shape)
+    rp, rt, runc = tk.trace_closest_fused(clusters, ob, d, chunk_rows=2,
+                                          m_budget=64, interpret=True)
+    monkeypatch.undo()
+    p0, t0, unc0 = tk.trace_closest_fused(clusters, ob, d, chunk_rows=2,
+                                          m_budget=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(rp), np.asarray(p0))
+    np.testing.assert_allclose(np.asarray(rt), np.asarray(t0))
+    assert int(runc) == int(unc0)
+
+
 def test_anyhit_fused_overflow_reported():
     """A tiny m_budget must be reported, not silently wrong."""
     rng = np.random.RandomState(2)

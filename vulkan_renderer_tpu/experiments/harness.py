@@ -350,6 +350,11 @@ def main(argv=None) -> int:
     parser.add_argument("--output-dir", default="data/experiments")
     parser.add_argument("--warmup-frames", type=int, default=110)
     parser.add_argument("--measure-frames", type=int, default=100)
+    parser.add_argument("--no-isolate", action="store_true",
+                        help="run all experiments in THIS process (the "
+                        "axon TPU platform reliably wedges after ~2-3 "
+                        "distinct compiled frame programs per process, so "
+                        "the default is one subprocess per experiment)")
     args = parser.parse_args(argv)
 
     experiments = create_experiment_list(
@@ -362,6 +367,26 @@ def main(argv=None) -> int:
         picked = list(enumerate(experiments))
     else:
         picked = [(int(i), experiments[int(i)]) for i in args.experiments]
+    if len(picked) > 1 and not args.no_isolate:
+        # One subprocess per experiment: each gets a fresh TPU context.
+        import subprocess
+        import sys
+        rc = 0
+        for i, _ in picked:
+            cmd = [sys.executable, "-m",
+                   "vulkan_renderer_tpu.experiments.harness",
+                   "-e", str(i), "--no-isolate",
+                   "--output-dir", args.output_dir,
+                   "--warmup-frames", str(args.warmup_frames),
+                   "--measure-frames", str(args.measure_frames)]
+            if args.width:
+                cmd += ["--width", str(args.width)]
+            if args.height:
+                cmd += ["--height", str(args.height)]
+            if args.hdr:
+                cmd.append("--hdr")
+            rc |= subprocess.call(cmd)
+        return rc
     if args.width or args.height:
         picked = [(i, dataclasses.replace(
             e, width=args.width or e.width, height=args.height or e.height))

@@ -247,6 +247,46 @@ def _tri_scalars(tab_ref, t: int, c: int):
     return [tab_ref[0, 0, k * c + t] for k in range(9)]
 
 
+# SMEM budget for the scalar-prefetched (ids, valid) pair. Measured on
+# v5e/axon: ~0.78 MB compiles and runs, ~1.5 MB crashes the TPU compiler —
+# so megabatches are sliced to keep each pallas_call's prefetch under this.
+_MAX_PREFETCH_BYTES = 384 * 1024
+_MIN_SLICE_CHUNKS = 64
+
+
+def _dead_ray_rows(nrows: int):
+    z = jnp.zeros((7, nrows, _LANE), jnp.float32)
+    z = z.at[5].set(1.0)    # dz = 1 (unit direction)
+    z = z.at[6].set(-1.0)   # t_max = -1: fails every slab test
+    return z
+
+
+def _sliced_call(call_one, nc: int, m: int, chunk_rows: int,
+                 ids, valid, rays):
+    """Run call_one(ids, valid, rays, nc_slice) over chunk slices bounded
+    by the SMEM prefetch budget, concatenating outputs along rows. Output
+    rows beyond the real ray count are padding (callers trim)."""
+    max_chunks = max(_MIN_SLICE_CHUNKS, _MAX_PREFETCH_BYTES // (m * 8))
+    if nc <= max_chunks:
+        return call_one(ids, valid, rays, nc)
+    ns = -(-nc // max_chunks)
+    pad = ns * max_chunks - nc
+    if pad:
+        ids = jnp.concatenate([ids, jnp.zeros((pad * m,), ids.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad * m,), valid.dtype)])
+        rays = jnp.concatenate(
+            [rays, _dead_ray_rows(pad * chunk_rows)], axis=1)
+    ids = ids.reshape(ns, max_chunks * m)
+    valid = valid.reshape(ns, max_chunks * m)
+    rays = rays.reshape(7, ns, max_chunks * chunk_rows, _LANE) \
+        .transpose(1, 0, 2, 3)
+    outs = jax.lax.map(
+        lambda args: call_one(args[0], args[1], args[2], max_chunks),
+        (ids, valid, rays))
+    return jax.tree.map(
+        lambda o: o.reshape((-1,) + o.shape[2:]), outs)
+
+
 def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
                        chunk_rows: int = 16, m_budget: int = 32,
                        t_min: float = 1.0e-3, interpret: bool = False):
@@ -308,41 +348,45 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
                 occ = occ | hit
             out_ref[...] = jnp.where(work & occ, 1.0, out_ref[...])
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nc, m),
-        in_specs=[
-            pl.BlockSpec((7, chunk_rows, _LANE),
-                         lambda i, mm, ids, valid: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tab.shape[2]),
-                         lambda i, mm, ids, valid: (ids[i * m + mm], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8),
-                         lambda i, mm, ids, valid: (ids[i * m + mm], 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((chunk_rows, _LANE),
-                               lambda i, mm, ids, valid: (i, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((nr, _LANE), jnp.float32),
-        grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(ids, valid, rays, tab, aabb)
-    occluded = out.reshape(-1) > 0.5
+    def call_one(ids_s, valid_s, rays_s, nc_s):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nc_s, m),
+            in_specs=[
+                pl.BlockSpec((7, chunk_rows, _LANE),
+                             lambda i, mm, ids, valid: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tab.shape[2]),
+                             lambda i, mm, ids, valid:
+                             (ids[i * m + mm], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 8),
+                             lambda i, mm, ids, valid:
+                             (ids[i * m + mm], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((chunk_rows, _LANE),
+                                   lambda i, mm, ids, valid: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((nc_s * chunk_rows, _LANE),
+                                           jnp.float32),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(ids_s, valid_s, rays_s, tab, aabb)
+
+    out = _sliced_call(call_one, nc, m, chunk_rows, ids, valid, rays)
+    occluded = out.reshape(-1)[:nc * chunk] > 0.5
     # A found occlusion is definite; an UN-occluded ray is only guaranteed
     # when no dropped cluster could intersect its [t_min, t_max] segment.
-    n_all = occluded.shape[0]
-    live = (jnp.arange(n_all) < r) \
-        & (rays.reshape(7, -1)[6] >= 0.0)
+    tmax_flat = rays.reshape(7, -1)[6]
+    live = (jnp.arange(nc * chunk) < r) & (tmax_flat >= 0.0)
     bound = jnp.repeat(t_bound, chunk)
-    overflow = jnp.sum(live & ~occluded
-                       & (bound < rays.reshape(7, -1)[6]),
+    overflow = jnp.sum(live & ~occluded & (bound < tmax_flat),
                        dtype=jnp.int32)
     return occluded[:r], overflow
 
@@ -413,40 +457,48 @@ def trace_closest_fused(clusters: Clusters, origins, dirs,
             t_ref[...] = bt
             prim_ref[...] = bp
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nc, m),
-        in_specs=[
-            pl.BlockSpec((7, chunk_rows, _LANE),
-                         lambda i, mm, ids, valid: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tab.shape[2]),
-                         lambda i, mm, ids, valid: (ids[i * m + mm], 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8),
-                         lambda i, mm, ids, valid: (ids[i * m + mm], 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((chunk_rows, _LANE),
-                         lambda i, mm, ids, valid: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk_rows, _LANE),
-                         lambda i, mm, ids, valid: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
-    t_out, prim_out = pl.pallas_call(
-        kernel,
-        out_shape=[jax.ShapeDtypeStruct((nr, _LANE), jnp.float32),
-                   jax.ShapeDtypeStruct((nr, _LANE), jnp.int32)],
-        grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(ids, valid, rays, tab, aabb)
-    t_flat = t_out.reshape(-1)
-    live = jnp.arange(t_flat.shape[0]) < r
+    def call_one(ids_s, valid_s, rays_s, nc_s):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nc_s, m),
+            in_specs=[
+                pl.BlockSpec((7, chunk_rows, _LANE),
+                             lambda i, mm, ids, valid: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tab.shape[2]),
+                             lambda i, mm, ids, valid:
+                             (ids[i * m + mm], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 8),
+                             lambda i, mm, ids, valid:
+                             (ids[i * m + mm], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((chunk_rows, _LANE),
+                             lambda i, mm, ids, valid: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((chunk_rows, _LANE),
+                             lambda i, mm, ids, valid: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        )
+        return pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((nc_s * chunk_rows, _LANE),
+                                            jnp.float32),
+                       jax.ShapeDtypeStruct((nc_s * chunk_rows, _LANE),
+                                            jnp.int32)],
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(ids_s, valid_s, rays_s, tab, aabb)
+
+    t_out, prim_out = _sliced_call(call_one, nc, m, chunk_rows,
+                                   ids, valid, rays)
+    t_flat = t_out.reshape(-1)[:nc * chunk]
+    live = jnp.arange(nc * chunk) < r
     uncertain = jnp.sum(live & (t_flat > jnp.repeat(t_bound, chunk)),
                         dtype=jnp.int32)
     t_out = t_flat[:r]
