@@ -46,8 +46,8 @@ INVALID = jnp.uint32(0xFFFFFFFF)
 # G*S) instead of O(rays * K) — the reference gets the same effect from its
 # two-level acceleration structure (scene.c:142-406).
 _TWO_LEVEL_MIN_CLUSTERS = 1024
-_SC_GROUP = 64
-_SC_BUDGET = 32
+_SC_GROUP = 32
+_SC_BUDGET = 16
 
 
 @functools.lru_cache(maxsize=8)
@@ -123,7 +123,7 @@ def _nearest_k(t_sel, ids, budget: int):
 
 
 def _union_cull(clusters: Clusters, origins, dirs, t_max, chunk: int,
-                m_budget: int):
+                m_budget: int, sc_budget: int = _SC_BUDGET):
     """Per-chunk union of slab-hit clusters, compacted FRONT-TO-BACK to
     the m_budget nearest (by chunk-min slab entry t) — deep chunks keep
     their near geometry and push drops far away, mirroring the XLA
@@ -148,7 +148,7 @@ def _union_cull(clusters: Clusters, origins, dirs, t_max, chunk: int,
             sc_mask, sc_near = _slab_mask(sc_lo, sc_hi, o, d, t)
             sc_t = jnp.min(jnp.where(sc_mask, sc_near, jnp.inf), axis=0)
             sc_ids, sc_valid, sc_bound = _nearest_k(
-                sc_t, jnp.arange(ks, dtype=jnp.int32), min(_SC_BUDGET, ks))
+                sc_t, jnp.arange(ks, dtype=jnp.int32), min(sc_budget, ks))
             sc_dropped = jnp.sum(jnp.isfinite(sc_t), dtype=jnp.int32) \
                 - jnp.sum(sc_valid, dtype=jnp.int32)
             member_ids = (sc_ids[:, None] * _SC_GROUP
@@ -289,7 +289,8 @@ def _sliced_call(call_one, nc: int, m: int, chunk_rows: int,
 
 def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
                        chunk_rows: int = 16, m_budget: int = 32,
-                       t_min: float = 1.0e-3, interpret: bool = False):
+                       t_min: float = 1.0e-3, interpret: bool = False,
+                       sc_budget: int = _SC_BUDGET):
     """Any-hit (shadow) test. Returns (occluded bool (R,), overflow ()).
 
     overflow counts LIVE rays whose un-occluded result lacks the exactness
@@ -302,7 +303,8 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
     c = clusters.cluster_size
 
     ids, valid, t_bound, _, nc = _union_cull(clusters, origins, dirs,
-                                             t_max, chunk, m)
+                                             t_max, chunk, m,
+                                             sc_budget=sc_budget)
     rays, r = _pack_rays(origins, dirs, t_max, chunk)
     tab, aabb = _padded_tables(clusters)
     nr = rays.shape[1]
@@ -393,7 +395,8 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
 
 def trace_closest_fused(clusters: Clusters, origins, dirs,
                         chunk_rows: int = 16, m_budget: int = 48,
-                        t_min: float = 1.0e-3, interpret: bool = False):
+                        t_min: float = 1.0e-3, interpret: bool = False,
+                        sc_budget: int = 32):
     """Closest hit. Returns (prim uint32 (R,), t (R,), uncertain ()).
 
     uncertain counts rays whose best t exceeds the chunk's first-dropped-
@@ -406,7 +409,8 @@ def trace_closest_fused(clusters: Clusters, origins, dirs,
     c = clusters.cluster_size
 
     ids, valid, t_bound, _, nc = _union_cull(clusters, origins, dirs,
-                                             t_max, chunk, m)
+                                             t_max, chunk, m,
+                                             sc_budget=sc_budget)
     rays, r = _pack_rays(origins, dirs, t_max, chunk)
     tab, aabb = _padded_tables(clusters)
     nr = rays.shape[1]
