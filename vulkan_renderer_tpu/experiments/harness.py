@@ -282,6 +282,11 @@ class ExperimentResult:
     frame_time_ms: float
     screenshot_path: str
     stand_in: bool = False
+    # Tracer exactness counters accumulated over every rendered frame
+    # (warmup + measurement): nonzero means the figure may be missing
+    # shadows / hits and the budgets need raising (VERDICT r2 weak #5).
+    primary_uncertain: int = 0
+    shadow_overflow: int = 0
 
 
 def run_experiments(experiments, build_application=None, *,
@@ -326,8 +331,11 @@ def run_experiments(experiments, build_application=None, *,
         if experiment.hdr:
             path = path.replace(".png", ".hdr")
         take_screenshot(path, image)
-        results.append(ExperimentResult(experiment, frame_ms, path,
-                                        stand_in))
+        stats = getattr(app, "frame_stats", None) or {}
+        results.append(ExperimentResult(
+            experiment, frame_ms, path, stand_in,
+            primary_uncertain=int(stats.get("primary_uncertain", 0)),
+            shadow_overflow=int(stats.get("shadow_overflow", 0))))
     return results
 
 
@@ -396,6 +404,9 @@ def main(argv=None) -> int:
             [e], min_warmup_frames=args.warmup_frames,
             measure_frames=args.measure_frames)[0]
         tag = " [STAND-IN]" if result.stand_in else ""
+        if result.primary_uncertain or result.shadow_overflow:
+            tag += (f" [EXACTNESS: uncertain={result.primary_uncertain} "
+                    f"overflow={result.shadow_overflow}]")
         print(f"{i:03d}: {result.frame_time_ms:.3f} ms -> "
               f"{result.screenshot_path}{tag}")
     return 0

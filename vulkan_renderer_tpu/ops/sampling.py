@@ -292,7 +292,10 @@ def _sort_convex_polygon_vertices(vertices, ellipses, vertex_count):
     # and exactly tie-preserving, but branchless VPU arithmetic (atan2 has
     # no Mosaic lowering, and only the ORDER of the keys matters here).
     p = dot / (jnp.abs(dot) + jnp.abs(cross) + F32(1e-37))
-    keys = jnp.where(cross >= 0.0, 1.0 - p, p - 1.0)
+    # Branch on the SIGN BIT (not cross >= 0) so cross == -0.0 keys as
+    # atan2(-0.0, dot<0) = -pi (sorts first), matching the reference
+    # network order on the xy-antipodal measure-zero case.
+    keys = jnp.where(jnp.signbit(cross), p - 1.0, 1.0 - p)
     keys = jnp.where(active, keys, F32(4.0))
     # Rank-based permutation instead of argsort + gather: both the sort and
     # the permutation apply become 8x8 VPU compare/select/reduce ops (a

@@ -66,6 +66,10 @@ def fused_supported(static, settings: RenderSettings) -> bool:
         return False
     if len(static.light_vertex_counts) != static.light_count:
         return False
+    # A count outside the 8-slot light record would make _read_light read
+    # the SMEM plane/radiance scalars as vertex coordinates.
+    if any(nv < 3 or nv > 8 for nv in static.light_vertex_counts):
+        return False
     return True
 
 

@@ -245,6 +245,10 @@ def _render_frame_body(scene, static, settings, constants, width, height,
             scene.clusters, constants.camera_position, ray_dirs,
             pairs_per_ray=static.primary_pairs_per_ray)
     elif traversal == "bvh":
+        if scene.bvh is None:
+            raise ValueError("traversal='bvh' needs build_scene("
+                             "with_bvh=True); the default scene skips the "
+                             "BVH build (clusters are the production path)")
         closest = make_bvh_closest_hit(scene.bvh)
         primitive_index, _ = jax.vmap(
             lambda d: closest(constants.camera_position, d))(ray_dirs)

@@ -136,6 +136,12 @@ def _union_cull(clusters: Clusters, origins, dirs, t_max, chunk: int,
     k = clusters.cluster_count
     (o_c, d_c, t_c), r = _chunk_rows([origins, dirs, t_max], chunk)
     two_level = k > _TWO_LEVEL_MIN_CLUSTERS
+    if two_level and sc_budget * _SC_GROUP < m_budget:
+        # The per-chunk member pool is sc_budget*_SC_GROUP ids; a smaller
+        # pool than m_budget would misalign every chunk's fixed-m fetches.
+        raise ValueError(
+            f"sc_budget*{_SC_GROUP} = {sc_budget * _SC_GROUP} must cover "
+            f"m_budget = {m_budget}")
     if two_level:
         pad_lo, pad_hi, sc_lo, sc_hi = _supercluster_aabbs(clusters)
         ks = sc_lo.shape[0]
