@@ -331,3 +331,92 @@ def test_fused_pallas_interpret_matches_xla():
                                     static, settings, interpret=True)
     for r, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=5e-4)
+
+
+_DIFFUSE_TECHNIQUES = [
+    PolygonSamplingTechnique.BASELINE,
+    PolygonSamplingTechnique.AREA_TURK,
+    PolygonSamplingTechnique.SOLID_ANGLE,
+    PolygonSamplingTechnique.SOLID_ANGLE_ARVO,
+    PolygonSamplingTechnique.CLIPPED_SOLID_ANGLE,
+    PolygonSamplingTechnique.BILINEAR_COSINE_WARP_HART,
+    PolygonSamplingTechnique.BILINEAR_COSINE_WARP_CLIPPING_HART,
+    PolygonSamplingTechnique.BIQUADRATIC_COSINE_WARP_HART,
+    PolygonSamplingTechnique.BIQUADRATIC_COSINE_WARP_CLIPPING_HART,
+    PolygonSamplingTechnique.RECTANGLE_SOLID_ANGLE_URENA,
+]
+
+
+@pytest.mark.parametrize("tech", _DIFFUSE_TECHNIQUES)
+def test_fused_diffuse_techniques_match_reference(tech):
+    """The widened fused coverage (ops/soa_techniques.py): every
+    non-PSA-Arvo technique's DIFFUSE_ONLY path must match the vmapped
+    per-pixel implementation."""
+    rng = np.random.RandomState(23)
+    specs = [
+        PolygonalLightSpec(
+            translation=np.array([0.5, -0.5, 2.0], np.float32),
+            rotation_angles=np.array([np.pi, 0, 0], np.float32),
+            scaling_x=0.8, scaling_y=0.6,
+            radiant_flux=np.array([9.0, 7.0, 5.0], np.float32)),
+    ]
+    counts = (4,)
+    if tech != PolygonSamplingTechnique.RECTANGLE_SOLID_ANGLE_URENA:
+        # Urena is rectangle-only (GUI legality); others get a pentagon
+        # second light to exercise nv=5 fans/clips.
+        specs.append(PolygonalLightSpec(
+            translation=np.array([-1.0, 1.0, 1.5], np.float32),
+            rotation_angles=np.array([2.5, 0.3, 0.1], np.float32),
+            scaling_x=0.5, scaling_y=0.5,
+            radiant_flux=np.array([4.0, 4.0, 6.0], np.float32),
+            vertices_plane_space=np.array(
+                [[-1, -1], [1, -1], [1.2, 0.4], [0, 1.1], [-1.3, 0.6]],
+                np.float32)))
+        counts = (4, 5)
+    lights, data, ltc = _make_setup(rng, specs)
+    scene_like = types.SimpleNamespace(lights=lights, light_atlas=None)
+    static = SceneStatic(light_count=len(specs),
+                         light_texturing=(0,) * len(specs),
+                         light_vertex_counts=counts)
+    settings = RenderSettings(
+        sampling_strategy=SamplingStrategy.DIFFUSE_ONLY,
+        polygon_sampling_technique=tech,
+        sample_count=2)
+    assert fused.fused_supported(static, settings)
+    constants = FrameConstants(
+        camera_position=jnp.zeros(3),
+        pixel_to_ray=jnp.eye(3),
+        exposure_factor=jnp.float32(1.0),
+        roughness_factor=jnp.float32(1.0),
+        mis_visibility_estimate=jnp.float32(0.5),
+        error_factor=jnp.float32(1.0),
+        noise_random_numbers=jnp.zeros(4, jnp.uint32))
+
+    p = data.position.shape[0]
+    total_pairs = pairs_per_light(settings) * static.light_count
+    noise_pairs = jnp.asarray(
+        rng.rand(p, total_pairs, 2).astype(np.float32))
+    hit = jnp.asarray(rng.rand(p) > 0.1)
+
+    base_r, b_r, d_r, t_r = _reference_result(
+        scene_like, static, settings, constants, data, ltc, noise_pairs,
+        hit)
+    ls = fused._pack_light_scalars(lights, static.light_count)
+    base_f, b_f, d_f, t_f = fused.fused_light_shading_xla(
+        data, ltc, hit, noise_pairs, ls, constants.mis_visibility_estimate,
+        static, settings)
+
+    base_r, b_r, d_r, t_r = map(np.asarray, (base_r, b_r, d_r, t_r))
+    base_f, b_f, d_f, t_f = map(np.asarray, (base_f, b_f, d_f, t_f))
+    assert b_f.shape == b_r.shape, (b_f.shape, b_r.shape)
+    fin = np.isfinite(b_r).all(axis=(1, 2)) & np.isfinite(base_r).all(-1)
+    assert fin.mean() > 0.9
+    scale = np.maximum(np.abs(b_r[fin]).max(), 1.0)
+    np.testing.assert_allclose(base_f[fin], base_r[fin],
+                               atol=2e-3 * scale, rtol=2e-3)
+    np.testing.assert_allclose(b_f[fin], b_r[fin], atol=2e-3 * scale,
+                               rtol=2e-3)
+    live = (np.abs(b_r[fin]).sum(-1) > 1e-6)
+    np.testing.assert_allclose(d_f[fin][live], d_r[fin][live], atol=1e-3)
+    np.testing.assert_allclose(t_f[fin][live], t_r[fin][live], rtol=1e-3,
+                               atol=1e-3)

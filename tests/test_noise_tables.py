@@ -83,3 +83,30 @@ def test_ahmed_not_white_and_loader_generates(tmp_path):
     again = load_noise_table(NoiseType.AHMED, str(tmp_path),
                              resolution=(64, 64, 16))
     np.testing.assert_array_equal(table.table, again.table)
+
+
+def test_noise_image_matches_per_pixel_gather():
+    """get_noise_image (roll+tile dense form) must be BIT-identical to
+    get_noise_pairs over the row-major grid — it is the production frame
+    path's noise source (render/pipeline.py)."""
+    import jax.numpy as jnp
+
+    from vulkan_renderer_tpu.ops.noise import (get_noise_image,
+                                               get_noise_pairs)
+
+    rng = np.random.default_rng(5)
+    layers, th, tw = 8, 16, 32
+    table = jnp.asarray(
+        rng.integers(0, 65536, size=(layers, th, tw, 4)).astype(np.uint16))
+    res_mask = np.array([tw - 1, th - 1], np.uint32)
+    tex_mask = np.uint32(layers - 1)
+    randoms = rng.integers(0, 1 << 32, size=4).astype(np.uint32)
+    w, h, pairs = 40, 24, 9
+    ys, xs = np.mgrid[0:h, 0:w]
+    pixels = jnp.asarray(
+        np.stack([xs, ys], axis=-1).reshape(-1, 2).astype(np.int32))
+
+    ref = np.asarray(get_noise_pairs(table, pixels, pairs, res_mask,
+                                     tex_mask, randoms))
+    img = np.asarray(get_noise_image(table, w, h, pairs, tex_mask, randoms))
+    np.testing.assert_array_equal(img, ref)

@@ -42,21 +42,40 @@ _HEURISTIC_NAME = {
 }
 
 # Per-light scalar record layout (SMEM row): 8 vertices x 3, plane (4),
-# surface radiance (3).
-_LIGHT_SCALARS = 8 * 3 + 4 + 3
+# surface radiance (3), rotation columns (9), translation (3),
+# scaling x/y (2), area (1), fan areas (6 x (tri, cumulative)).
+_LS_VERTS = 0
+_LS_PLANE = 24
+_LS_RADIANCE = 28
+_LS_ROTATION = 31
+_LS_TRANSLATION = 40
+_LS_SCALING = 43
+_LS_AREA = 45
+_LS_FAN = 46
+_LIGHT_SCALARS = _LS_FAN + 6 * 2
 
 
 def fused_supported(static, settings: RenderSettings) -> bool:
-    """Whether this (static, settings) combination has a fused kernel."""
+    """Whether this (static, settings) combination has a fused kernel.
+
+    Coverage: every technique except PROJECTED_SOLID_ANGLE_ARVO has a
+    DIFFUSE_ONLY fused path (the timing-sweep configuration,
+    experiment_list.c:364-409); the PSA pair additionally supports
+    DIFFUSE_SPECULAR_MIS. Everything else (error displays, textured/IES
+    lights, linear lights, remaining strategies) falls back to the
+    vmapped per-pixel pipeline."""
     if settings.error_display != ErrorDisplay.NONE:
         return False
-    if settings.polygon_sampling_technique not in (
-            PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE,
-            PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_BIASED):
+    psa = settings.polygon_sampling_technique in (
+        PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE,
+        PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_BIASED)
+    if settings.polygon_sampling_technique \
+            == PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_ARVO:
         return False
-    if settings.sampling_strategy not in (
-            SamplingStrategy.DIFFUSE_ONLY,
-            SamplingStrategy.DIFFUSE_SPECULAR_MIS):
+    allowed = (SamplingStrategy.DIFFUSE_ONLY,
+               SamplingStrategy.DIFFUSE_SPECULAR_MIS) if psa \
+        else (SamplingStrategy.DIFFUSE_ONLY,)
+    if settings.sampling_strategy not in allowed:
         return False
     if getattr(static, "linear_light_count", 0):
         return False
@@ -85,6 +104,12 @@ class _LightScalars(NamedTuple):
     verts: list      # NV of vec3 scalar tuples
     plane: tuple     # (4,) scalars
     radiance: tuple  # (3,) scalars
+    rot_cols: list   # 3 vec3 scalar tuples (rotation columns)
+    translation: tuple
+    scaling: tuple   # (scaling_x, scaling_y)
+    area: object     # () scalar
+    fan_tri: list    # 6 per-fan-triangle areas
+    fan_cum: list    # 6 cumulative fan areas
 
 
 def _affine(rows, trans, v):
@@ -120,6 +145,141 @@ def _rad_brdf_soa(px, light: _LightScalars, d_world,
     return value, lambert, jnp.where(geo, t_max, zero)
 
 
+def _unflipped_rows(px, prefix):
+    rows = [tuple(px[f"{prefix}{i}{j}"] for j in range(3)) for i in range(3)]
+    trans = [px[f"{prefix}{i}3"] for i in range(3)]
+    return rows, trans
+
+
+def _shade_one_light_diffuse(px, light: _LightScalars, nv: int,
+                             settings: RenderSettings, noise):
+    """DIFFUSE_ONLY shading for the non-PSA techniques (the reference's
+    per-technique branches, shading_pass.frag.glsl:329-502, in SoA form —
+    see ops/soa_techniques.py for the per-technique ports)."""
+    from ..ops import soa_techniques as st
+    tech = settings.polygon_sampling_technique
+    n = settings.sample_count
+    zero = jnp.zeros_like(px["roughness"])
+    zero3 = (zero, zero, zero)
+
+    prep = None
+    ok = None
+    density_const = None
+    if tech == PolygonSamplingTechnique.BASELINE:
+        corner = tuple(light.translation[c] - px["position"][c]
+                       for c in range(3))
+
+        def sample(r0, r1):
+            d = soa.vnormalize(tuple(
+                corner[c] + r0 * light.rot_cols[0][c]
+                + r1 * light.rot_cols[1][c] for c in range(3)))
+            return d, jnp.ones_like(r0)
+    elif tech == PolygonSamplingTechnique.AREA_TURK:
+        def sample(r0, r1):
+            pos = st.sample_area_turk_soa(light.verts, light.fan_tri,
+                                          light.fan_cum, nv, r0, r1)
+            offset = tuple(pos[c] - px["position"][c] for c in range(3))
+            dist_sq = vdot(offset, offset)
+            rcp = 1.0 / jnp.sqrt(dist_sq)
+            d = tuple(offset[c] * rcp for c in range(3))
+            pxyz = light.plane[:3]
+            projected = jnp.abs(d[0] * pxyz[0] + d[1] * pxyz[1]
+                                + d[2] * pxyz[2]) * light.area
+            density = dist_sq / jnp.where(projected > 0.0, projected, 1.0)
+            density = jnp.where(projected > 0.0, density, 0.0)
+            return d, density
+    elif tech in (PolygonSamplingTechnique.SOLID_ANGLE,
+                  PolygonSamplingTechnique.SOLID_ANGLE_ARVO):
+        dirs = [soa.vnormalize(tuple(light.verts[k][c] - px["position"][c]
+                                     for c in range(3)))
+                for k in range(nv)]
+        arvo = tech == PolygonSamplingTechnique.SOLID_ANGLE_ARVO
+        prep = st.prepare_sa_arvo_soa(dirs, None, nv) if arvo \
+            else st.prepare_sa_soa(dirs, None, nv)
+        ok = prep.solid_angle > 0.0
+        density_const = 1.0 / jnp.where(ok, prep.solid_angle, 1.0)
+
+        def sample(r0, r1):
+            d = st.sample_sa_arvo_soa(prep, r0, r1, nv) if arvo \
+                else st.sample_sa_soa(prep, r0, r1, nv)
+            return d, density_const
+    elif tech == PolygonSamplingTechnique.RECTANGLE_SOLID_ANGLE_URENA:
+        prep = st.prepare_urena_soa(
+            light.translation, light.scaling[0], light.scaling[1],
+            light.rot_cols[0], light.rot_cols[1], light.rot_cols[2],
+            px["position"])
+        ok = prep.solid_angle > 0.0
+        density_const = 1.0 / jnp.where(ok, prep.solid_angle, 1.0)
+
+        def sample(r0, r1):
+            return st.sample_urena_soa(prep, r0, r1), density_const
+    else:
+        # Shading-space family: clipped solid angle + the Hart warps
+        # (render/shading.py:501-556). NO winding flip here (PSA only).
+        rows, trans = _unflipped_rows(px, "w2s")
+        verts_shading = [_affine(rows, trans, light.verts[k])
+                         for k in range(nv)]
+        no_clip = tech in (
+            PolygonSamplingTechnique.BILINEAR_COSINE_WARP_HART,
+            PolygonSamplingTechnique.BIQUADRATIC_COSINE_WARP_HART)
+        if no_clip:
+            verts, count, m = verts_shading, None, nv
+            clip_ok = None
+        else:
+            verts, count = soa.clip_soa(verts_shading, nv)
+            m = nv + 1
+            clip_ok = count > 0
+        dirs = [soa.vnormalize(v) for v in verts]
+        if tech == PolygonSamplingTechnique.CLIPPED_SOLID_ANGLE:
+            prep = st.prepare_sa_soa(
+                dirs, None if count is None else jnp.maximum(count, 3), m)
+            ok = prep.solid_angle > 0.0
+            if clip_ok is not None:
+                ok = ok & clip_ok
+            density_const = 1.0 / jnp.where(prep.solid_angle > 0.0,
+                                            prep.solid_angle, 1.0)
+
+            def sample_sh(r0, r1):
+                return st.sample_sa_soa(prep, r0, r1, m), density_const
+        else:
+            bilinear = tech in (
+                PolygonSamplingTechnique.BILINEAR_COSINE_WARP_HART,
+                PolygonSamplingTechnique.BILINEAR_COSINE_WARP_CLIPPING_HART)
+            cnt = None if count is None else jnp.maximum(count, 3)
+            if bilinear:
+                prep = st.prepare_hart_bilinear_soa(dirs, cnt, m)
+
+                def sample_sh(r0, r1):
+                    return st.sample_hart_bilinear_soa(prep, r0, r1, m)
+            else:
+                prep = st.prepare_hart_biquadratic_soa(dirs, cnt, m)
+
+                def sample_sh(r0, r1):
+                    return st.sample_hart_biquadratic_soa(prep, r0, r1, m)
+            ok = prep.poly.solid_angle > 0.0
+            if clip_ok is not None:
+                ok = ok & clip_ok
+
+        def sample(r0, r1):
+            d_sh, density = sample_sh(r0, r1)
+            return _rot_t_apply(rows, d_sh), density
+
+    base = zero3
+    slots = []
+    for s in range(n):
+        r0, r1 = noise[s]
+        d_world, density = sample(r0, r1)
+        value1, lambert, t_max = _rad_brdf_soa(px, light, d_world)
+        scale = jnp.where(density > 0.0,
+                          lambert / jnp.where(density > 0.0, density, 1.0),
+                          0.0)
+        gate = px["hit"] if ok is None else (ok & px["hit"])
+        b = vwh(gate, vscale(scale, value1), zero3)
+        slots.append((b, d_world, t_max))
+    inv_n = np.float32(1.0 / n)
+    return base, [(vscale(inv_n, b), d, t) for (b, d, t) in slots]
+
+
 def _shade_one_light(px, light: _LightScalars, nv: int,
                      settings: RenderSettings, mis_visibility_estimate,
                      noise):
@@ -128,6 +288,10 @@ def _shade_one_light(px, light: _LightScalars, nv: int,
     px: dict of planes (see _pack_planes). noise: list of (r0, r1) plane
     pairs, one per noise pair slot for this light. Returns
     (base vec3, [per ray slot (b vec3, dir vec3, t_max)])."""
+    if settings.polygon_sampling_technique not in (
+            PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE,
+            PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_BIASED):
+        return _shade_one_light_diffuse(px, light, nv, settings, noise)
     biased = (settings.polygon_sampling_technique
               == PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_BIASED)
     strategy = settings.sampling_strategy
@@ -339,22 +503,44 @@ def _pack_light_scalars(lights, light_count: int):
     rows = []
     for i in range(light_count):
         verts = lights.vertices_world_space[i]  # (MAXL, 3)
-        pad = 8 - verts.shape[0]
+        maxl = verts.shape[0]
+        pad = 8 - maxl
         if pad > 0:
             verts = jnp.concatenate(
                 [verts, jnp.broadcast_to(verts[0], (pad, 3))], axis=0)
+        fan = lights.fan_areas[i]  # (MAXL-2, 2)
+        fan_pad = 6 - fan.shape[0]
+        if fan_pad > 0:
+            fan = jnp.concatenate(
+                [fan, jnp.broadcast_to(fan[-1], (fan_pad, 2))], axis=0)
         rows.append(jnp.concatenate([
             verts[:8].reshape(-1), lights.plane[i],
-            lights.surface_radiance[i]]))
+            lights.surface_radiance[i],
+            # Columns flattened: rotation[:, 0], rotation[:, 1], [:, 2].
+            lights.rotation[i].T.reshape(-1),
+            lights.translation[i],
+            jnp.stack([lights.scaling_x[i], lights.scaling_y[i]]),
+            lights.area[i][None],
+            fan[:6].reshape(-1)]))
     return jnp.stack(rows, axis=0)
 
 
 def _read_light(ls_ref, i: int, nv: int) -> _LightScalars:
     verts = [tuple(ls_ref[i, 3 * k + c] for c in range(3))
              for k in range(nv)]
-    plane = tuple(ls_ref[i, 24 + c] for c in range(4))
-    radiance = tuple(ls_ref[i, 28 + c] for c in range(3))
-    return _LightScalars(verts=verts, plane=plane, radiance=radiance)
+    plane = tuple(ls_ref[i, _LS_PLANE + c] for c in range(4))
+    radiance = tuple(ls_ref[i, _LS_RADIANCE + c] for c in range(3))
+    rot_cols = [tuple(ls_ref[i, _LS_ROTATION + 3 * k + c]
+                      for c in range(3)) for k in range(3)]
+    translation = tuple(ls_ref[i, _LS_TRANSLATION + c] for c in range(3))
+    scaling = (ls_ref[i, _LS_SCALING], ls_ref[i, _LS_SCALING + 1])
+    area = ls_ref[i, _LS_AREA]
+    fan_tri = [ls_ref[i, _LS_FAN + 2 * k] for k in range(6)]
+    fan_cum = [ls_ref[i, _LS_FAN + 2 * k + 1] for k in range(6)]
+    return _LightScalars(verts=verts, plane=plane, radiance=radiance,
+                         rot_cols=rot_cols, translation=translation,
+                         scaling=scaling, area=area, fan_tri=fan_tri,
+                         fan_cum=fan_cum)
 
 
 def _shade_tile(planes, ls_read, static, settings: RenderSettings,
@@ -393,14 +579,20 @@ def _shade_tile(planes, ls_read, static, settings: RenderSettings,
 def fused_light_shading(data, ltc, hit, noise_pairs, light_scalars,
                         mis_visibility_estimate, static,
                         settings: RenderSettings, interpret: bool = False,
-                        tile_rows: int = 8):
+                        tile_rows: int = 32):
     """Run the fused kernel over all pixels.
 
     data/ltc: vmapped ShadingData / LtcCoefficients with (P, ...) leaves;
     hit: (P,) bool; noise_pairs: (P, PAIRS, 2);
     light_scalars: (L, _LIGHT_SCALARS) from _pack_light_scalars.
     Returns (base (P, 3), b (P, S, 3), dirs (P, S, 3), t_max (P, S)) with
-    S = light_count * rays_per_light_fused(settings)."""
+    S = light_count * rays_per_light_fused(settings).
+
+    tile_rows: each SoA plane op covers a (tile_rows, 128) VMEM block.
+    At 8 rows every op is a single VPU register's worth of work and the
+    kernel is instruction-issue-bound: measured on v5e at the flagship
+    config, 141 ms/frame at tile_rows=8 vs 31 ms at 32 (128 is the same
+    31 ms with 4x the VMEM) — the default 32 amortizes issue cost 4x."""
     planes = _pack_planes(data, ltc, hit, noise_pairs)
     nin, p = planes.shape
     s_total = static.light_count * rays_per_light_fused(settings)

@@ -180,10 +180,12 @@ def _postprocess(color, settings: RenderSettings):
 
 
 @functools.partial(jax.jit, static_argnames=("static", "settings", "width",
-                                             "height", "with_stats"))
+                                             "height", "with_stats",
+                                             "stop_after"))
 def render_frame_jit(scene: Scene, static: SceneStatic,
                      settings: RenderSettings, constants: FrameConstants,
-                     width: int, height: int, with_stats: bool = False):
+                     width: int, height: int, with_stats: bool = False,
+                     stop_after: str | None = None):
     """Render one frame: (H, W, 3) float32 in output color space.
     With with_stats=True returns (image, FrameStats) so callers can check
     the tracer's exactness counters instead of silently trusting budgets.
@@ -200,11 +202,23 @@ def render_frame_jit(scene: Scene, static: SceneStatic,
     budget."""
     with jax.default_matmul_precision("highest"):
         return _render_frame_body(scene, static, settings, constants,
-                                  width, height, with_stats)
+                                  width, height, with_stats, stop_after)
+
+
+def _stage_stub(width, height, with_stats, *tensors):
+    """Early-exit image for stop_after profiling: depends on every stage
+    output so XLA cannot dead-code the measured work."""
+    acc = jnp.float32(0.0)
+    for t in tensors:
+        acc = acc + jnp.sum(t.astype(jnp.float32))
+    image = jnp.full((height, width, 3), 0.0) + acc * 1e-30
+    if with_stats:
+        return image, FrameStats(jnp.int32(0), jnp.int32(0))
+    return image
 
 
 def _render_frame_body(scene, static, settings, constants, width, height,
-                       with_stats):
+                       with_stats, stop_after=None):
     traversal = static.resolved_traversal(
         int(scene.triangle_positions.shape[0]))
     # "pallas" forces the Pallas tracer even on CPU (interpret mode, for
@@ -231,6 +245,8 @@ def _render_frame_body(scene, static, settings, constants, width, height,
     ray_dirs = (jnp.concatenate([pixels_f, jnp.ones_like(pixels_f[:, :1])],
                                 axis=-1) @ constants.pixel_to_ray.T)
 
+    if stop_after == "rays":
+        return _stage_stub(width, height, with_stats, ray_dirs)
     primary_uncertain = jnp.int32(0)
     shadow_overflow = jnp.int32(0)
     if use_pallas_trace:
@@ -256,21 +272,41 @@ def _render_frame_body(scene, static, settings, constants, width, height,
         primitive_index, _ = trace_primary_bruteforce(
             scene.triangle_positions, constants.camera_position, ray_dirs)
 
+    if stop_after == "trace":
+        return _stage_stub(width, height, with_stats, primitive_index)
     ppl = pairs_per_light(settings)
     total_pairs = max(ppl * static.light_count
                       + linear_pairs_per_light(settings)
                       * static.linear_light_count, 1)
-    noise_pairs = get_noise_pairs(
-        scene.noise_table, pixels_i, total_pairs,
-        scene.noise_resolution_mask, scene.noise_texture_index_mask,
-        constants.noise_random_numbers)
+    if use_pallas_trace:
+        # Image-form fetch: the scrambled offsets/layer are per-frame
+        # scalars, so the noise is a dense roll+tile of the table plus the
+        # frame's ONE Morton reorder gather — replaces fetch_count
+        # per-pixel table gathers (ops/noise.py get_noise_image).
+        from ..ops.noise import get_noise_image
+        noise_pairs = get_noise_image(
+            scene.noise_table, width, height, total_pairs,
+            scene.noise_texture_index_mask,
+            constants.noise_random_numbers)[jnp.asarray(perm_np)]
+    else:
+        noise_pairs = get_noise_pairs(
+            scene.noise_table, pixels_i, total_pairs,
+            scene.noise_resolution_mask, scene.noise_texture_index_mask,
+            constants.noise_random_numbers)
 
+    if stop_after == "noise":
+        return _stage_stub(width, height, with_stats, primitive_index,
+                           noise_pairs)
     if _use_fused(static, settings):
         from .fused import _pack_light_scalars, fused_light_shading
         preamble = functools.partial(_pixel_preamble, scene, static,
                                      settings, constants)
         hit, data, ltc, base0 = jax.vmap(preamble)(primitive_index,
                                                    ray_dirs)
+        if stop_after == "preamble":
+            import jax as _jax
+            return _stage_stub(width, height, with_stats, base0,
+                               *_jax.tree.leaves((data, ltc)))
         light_scalars = _pack_light_scalars(scene.lights,
                                             static.light_count)
         base_l, b, dirs, tmax = fused_light_shading(
@@ -286,6 +322,9 @@ def _render_frame_body(scene, static, settings, constants, width, height,
         base, b, dirs, tmax, origins = jax.vmap(shade)(
             pixels_i, primitive_index, ray_dirs, noise_pairs)
 
+    if stop_after == "shade":
+        return _stage_stub(width, height, with_stats, base, b, dirs, tmax,
+                           origins)
     if settings.trace_shadow_rays:
         s = b.shape[1]
         p = b.shape[0]
@@ -320,6 +359,8 @@ def _render_frame_body(scene, static, settings, constants, width, height,
         visibility = jnp.where(occluded, 0.0, 1.0).reshape(s, p).T
     else:
         visibility = jnp.ones(b.shape[:2])
+    if stop_after == "shadow":
+        return _stage_stub(width, height, with_stats, base, b, visibility)
 
     colors = base + jnp.sum(b * visibility[:, :, None], axis=1)
     # NaN/Inf -> pink (glsl:861-864), then exposure.
