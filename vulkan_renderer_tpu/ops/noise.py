@@ -94,7 +94,8 @@ def _fetch_scalars(sample_index: int, texture_index_mask,
 
 
 def get_noise_image(table, width: int, height: int, pair_count: int,
-                    texture_index_mask, noise_random_numbers):
+                    texture_index_mask, noise_random_numbers,
+                    row_offset=None):
     """The whole frame's noise pairs as ONE dense image, bit-identical to
     get_noise_pairs over the row-major pixel grid.
 
@@ -122,6 +123,9 @@ def get_noise_image(table, width: int, height: int, pair_count: int,
         # value[p] = layer[(p + off) & mask]  ==  roll(layer, -off)[p]
         # (wrap via tiling requires the table dims to be powers of two,
         # which resolution_mask == size - 1 already guarantees).
+        # row_offset: global row of the first image row (sharded bands).
+        if row_offset is not None:
+            off_y = off_y + jnp.asarray(row_offset, U32)
         shift_y = -(off_y & U32(th - 1)).astype(jnp.int32)
         shift_x = -(off_x & U32(tw - 1)).astype(jnp.int32)
         rolled = jnp.roll(layer, (shift_y, shift_x), axis=(0, 1))

@@ -185,7 +185,7 @@ def _postprocess(color, settings: RenderSettings):
 def render_frame_jit(scene: Scene, static: SceneStatic,
                      settings: RenderSettings, constants: FrameConstants,
                      width: int, height: int, with_stats: bool = False,
-                     stop_after: str | None = None):
+                     stop_after: str | None = None, row_offset=None):
     """Render one frame: (H, W, 3) float32 in output color space.
     With with_stats=True returns (image, FrameStats) so callers can check
     the tracer's exactness counters instead of silently trusting budgets.
@@ -202,7 +202,8 @@ def render_frame_jit(scene: Scene, static: SceneStatic,
     budget."""
     with jax.default_matmul_precision("highest"):
         return _render_frame_body(scene, static, settings, constants,
-                                  width, height, with_stats, stop_after)
+                                  width, height, with_stats, stop_after,
+                                  row_offset)
 
 
 def _stage_stub(width, height, with_stats, *tensors):
@@ -218,7 +219,11 @@ def _stage_stub(width, height, with_stats, *tensors):
 
 
 def _render_frame_body(scene, static, settings, constants, width, height,
-                       with_stats, stop_after=None):
+                       with_stats, stop_after=None, row_offset=None):
+    """row_offset: traced GLOBAL row index of this image band's first row
+    (image-band sharding, parallel/tiles.py render_frame_shardmap): pixel
+    y coordinates are global so ray directions and noise fetches match the
+    single-chip frame exactly; `height` is the band height."""
     traversal = static.resolved_traversal(
         int(scene.triangle_positions.shape[0]))
     # "pallas" forces the Pallas tracer even on CPU (interpret mode, for
@@ -229,6 +234,8 @@ def _render_frame_body(scene, static, settings, constants, width, height,
 
     xs = jnp.arange(width, dtype=jnp.float32)
     ys = jnp.arange(height, dtype=jnp.float32)
+    if row_offset is not None:
+        ys = ys + jnp.asarray(row_offset, jnp.float32)
     px, py = jnp.meshgrid(xs, ys, indexing="xy")
     pixels_f = jnp.stack([px, py], axis=-1).reshape(-1, 2)
     if use_pallas_trace:
@@ -287,7 +294,8 @@ def _render_frame_body(scene, static, settings, constants, width, height,
         noise_pairs = get_noise_image(
             scene.noise_table, width, height, total_pairs,
             scene.noise_texture_index_mask,
-            constants.noise_random_numbers)[jnp.asarray(perm_np)]
+            constants.noise_random_numbers,
+            row_offset=row_offset)[jnp.asarray(perm_np)]
     else:
         noise_pairs = get_noise_pairs(
             scene.noise_table, pixels_i, total_pairs,
