@@ -33,6 +33,16 @@ def main():
                         help="rays per trace chunk / 128")
     parser.add_argument("--primary-budget", type=int, default=64)
     parser.add_argument("--shadow-budget", type=int, default=48)
+    parser.add_argument("--retrace-factor", type=int, default=2,
+                        help="exactness re-trace budget multiplier "
+                             "(1 disables the second pass)")
+    parser.add_argument("--stop-after", default=None,
+                        choices=["rays", "trace", "noise", "preamble",
+                                 "shade", "shadow"],
+                        help="in-frame stage profiling: truncate the frame "
+                             "after this stage (run one stage per process; "
+                             "the axon platform wedges on multiple large "
+                             "programs)")
     args = parser.parse_args()
 
     import jax
@@ -74,7 +84,8 @@ def main():
                          traversal="wavefront",
                          trace_chunk_rows=args.chunk_rows,
                          primary_m_budget=args.primary_budget,
-                         shadow_m_budget=args.shadow_budget)
+                         shadow_m_budget=args.shadow_budget,
+                         retrace_factor=args.retrace_factor)
     camera = FirstPersonCamera(
         position_world_space=np.array([0.0, 0.0, 2.0], np.float32),
         rotation_x=0.55 * np.pi, rotation_z=0.5 * np.pi)
@@ -99,7 +110,8 @@ def main():
             try:
                 img, stats = render_frame_jit(scene, static, settings,
                                               constants, args.width,
-                                              args.height, with_stats=True)
+                                              args.height, with_stats=True,
+                                              stop_after=args.stop_after)
                 return np.asarray(img), stats
             except Exception:
                 if attempt == retries:
@@ -137,7 +149,7 @@ def main():
                                  rnd)
         frames.append(jnp.sum(render_frame_jit(
             scene, static, settings, c, args.width, args.height,
-            with_stats=True)[0]))
+            with_stats=True, stop_after=args.stop_after)[0]))
         if len(frames) > 3:
             np.asarray(frames.pop(0))  # bounded in-flight queue
     for f in frames:
@@ -149,8 +161,18 @@ def main():
     scale = (1920 * 1080) / (args.width * args.height)
     ms_1080p = ms * scale
     tri_count = int(scene.triangle_positions.shape[0])
+    if uncertain or overflow:
+        # Exactness gate (VERDICT r2 #2): the re-trace should drive both
+        # counters to zero; a nonzero residual means the measured image
+        # may be missing hits/shadows and MUST NOT pass silently.
+        import sys
+        print(f"EXACTNESS FAILURE: uncertain={uncertain} "
+              f"overflow={overflow} after retrace_factor="
+              f"{args.retrace_factor} — raise budgets/factor",
+              file=sys.stderr)
+    stage = f" stop_after={args.stop_after}" if args.stop_after else ""
     print(json.dumps({
-        "metric": f"ms/frame pipelined {args.width}x{args.height} "
+        "metric": f"ms/frame pipelined{stage} {args.width}x{args.height} "
                   f"{args.spp}spp shadows={not args.no_shadows} "
                   f"{args.scene} ({tri_count} tris, "
                   f"sync latency {round(latency_ms, 1)} ms, "

@@ -420,3 +420,44 @@ def test_fused_diffuse_techniques_match_reference(tech):
     np.testing.assert_allclose(d_f[fin][live], d_r[fin][live], atol=1e-3)
     np.testing.assert_allclose(t_f[fin][live], t_r[fin][live], rtol=1e-3,
                                atol=1e-3)
+
+
+@pytest.mark.parametrize("strategy", [SamplingStrategy.DIFFUSE_ONLY,
+                                      SamplingStrategy.DIFFUSE_SPECULAR_MIS])
+def test_fused_resolved_matches_slots(strategy):
+    """The resolved (no-shadow) light-grid kernel must equal base +
+    sum(slots) of the slot-exporting kernel: with trace_shadow_rays=False
+    every slot's visibility is 1, so both compute the same estimator."""
+    rng = np.random.RandomState(11)
+    specs = []
+    for i in range(3):
+        specs.append(PolygonalLightSpec(
+            translation=np.array([2.0 * i - 2.0, 0.5 * i, 2.0 + i],
+                                 np.float32),
+            rotation_angles=np.array([np.pi, 0.2 * i, 0], np.float32),
+            scaling_x=0.5 + 0.2 * i, scaling_y=0.7,
+            radiant_flux=np.array([5.0, 4.0, 3.0], np.float32) * (i + 1)))
+    lights, data, ltc = _make_setup(rng, specs, p=160)
+    static = SceneStatic(light_count=3, light_texturing=(0, 0, 0),
+                         light_vertex_counts=(4, 4, 4))
+    settings = RenderSettings(
+        sampling_strategy=strategy,
+        polygon_sampling_technique=(
+            PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE),
+        sample_count=2, trace_shadow_rays=False)
+    assert fused.fused_resolved_supported(static, settings)
+    p = data.position.shape[0]
+    total_pairs = 3 * pairs_per_light(settings)
+    noise_pairs = jnp.asarray(rng.rand(p, total_pairs, 2).astype(np.float32))
+    hit = jnp.asarray(rng.rand(p) > 0.1)
+    ls = fused._pack_light_scalars(lights, 3)
+    mis = jnp.float32(0.5)
+
+    base_r, b_r, _, _ = fused.fused_light_shading_xla(
+        data, ltc, hit, noise_pairs, ls, mis, static, settings)
+    ref = np.asarray(base_r) + np.asarray(b_r).sum(axis=1)
+    got = np.asarray(fused.fused_light_shading_resolved(
+        data, ltc, hit, noise_pairs, ls, mis, static, settings,
+        interpret=True, tile_rows=1))
+    scale = np.maximum(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(got, ref, atol=2e-5 * scale, rtol=1e-4)

@@ -1,6 +1,8 @@
 """Agreement tests: Pallas traversal kernels vs the XLA wavefront tracer
 and brute force."""
 
+import types
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -170,5 +172,116 @@ def test_anyhit_fused_overflow_reported():
     o, d, tm = _rays(rng, n=256)
     _, overflow = tk.trace_anyhit_fused(clusters, o, d, tm,
                                         chunk_rows=2, m_budget=2,
-                                        interpret=True)
+                                        interpret=True, retrace_factor=1)
     assert int(overflow) > 0
+
+
+def test_retrace_fixes_anyhit_overflow():
+    """The exactness re-trace: a tiny first-pass budget overflows, the
+    second pass with scaled budgets drives the counter to zero and the
+    result matches brute force (VERDICT r2 #2)."""
+    rng = np.random.RandomState(2)
+    tris = _scene(rng, t=2000)
+    clusters = wf.build_clusters(tris, cluster_size=16)
+    o, d, tm = _rays(rng, n=256)
+    _, overflow1 = tk.trace_anyhit_fused(clusters, o, d, tm,
+                                         chunk_rows=2, m_budget=2,
+                                         interpret=True, retrace_factor=1)
+    assert int(overflow1) > 0  # the scenario genuinely overflows
+    # factor 64 -> second-pass budget 128 >= cluster_count: provably exact.
+    assert clusters.cluster_count <= 128
+    got, overflow = tk.trace_anyhit_fused(clusters, o, d, tm,
+                                          chunk_rows=2, m_budget=2,
+                                          interpret=True, retrace_factor=64)
+    assert int(overflow) == 0
+    ref = np.asarray(trace_anyhit_bruteforce(jnp.asarray(tris), o, d, tm))
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
+def test_retrace_fixes_closest_uncertain():
+    rng = np.random.RandomState(3)
+    tris = _scene(rng, t=2000)
+    clusters = wf.build_clusters(tris, cluster_size=16)
+    _, d, _ = _rays(rng, n=256)
+    origin = jnp.asarray(np.array([10.0, 10.0, 25.0], np.float32))
+    o = jnp.broadcast_to(origin, d.shape)
+    _, _, unc1 = tk.trace_closest_fused(clusters, o, d, chunk_rows=2,
+                                        m_budget=2, interpret=True,
+                                        retrace_factor=1)
+    assert int(unc1) > 0
+    assert clusters.cluster_count <= 128
+    prim, t, unc = tk.trace_closest_fused(clusters, o, d, chunk_rows=2,
+                                          m_budget=2, interpret=True,
+                                          retrace_factor=64)
+    assert int(unc) == 0
+    ref_prim, ref_t = trace_primary_bruteforce(jnp.asarray(tris), origin, d)
+    hit = np.isfinite(np.asarray(ref_t))
+    np.testing.assert_array_equal(np.asarray(prim)[hit],
+                                  np.asarray(ref_prim)[hit])
+    np.testing.assert_allclose(np.asarray(t)[hit], np.asarray(ref_t)[hit],
+                               rtol=1e-5)
+
+
+def test_attr_pass_matches_geometry_attributes():
+    """The deferred attribute-fetch kernel must reproduce the XLA
+    geometry_attributes (shading_rows gather + re-intersection) for every
+    hit ray."""
+    import functools
+
+    from vulkan_renderer_tpu.render.shading import (
+        FrameConstants, geometry_attributes, geometry_attributes_from_planes)
+
+    rng = np.random.RandomState(9)
+    tris = _scene(rng, t=600)
+    nrm = rng.randn(600, 3, 3).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    uvs = rng.rand(600, 3, 2).astype(np.float32)
+    mat = rng.randint(0, 5, 600)
+    clusters = wf.build_clusters(tris, cluster_size=16,
+                                 triangle_normals=nrm,
+                                 triangle_tex_coords=uvs,
+                                 material_indices=mat)
+    _, d, _ = _rays(rng, n=384)
+    origin = np.array([10.0, 10.0, 25.0], np.float32)
+    o = jnp.broadcast_to(jnp.asarray(origin), d.shape)
+    derivs = np.array([[1e-3, 0.0, 2e-4], [0.0, -1e-3, 1e-4]], np.float32)
+
+    prim, t, unc, attrs, stale = tk.trace_closest_attrs(
+        clusters, o, d, jnp.asarray(derivs), chunk_rows=2, m_budget=64,
+        interpret=True)
+    assert int(unc) == 0
+    assert not bool(np.asarray(stale).any())
+
+    # XLA reference: shading_rows-equivalent row table.
+    shading_rows = np.concatenate(
+        [tris.reshape(-1, 9), nrm.reshape(-1, 9), uvs.reshape(-1, 6),
+         mat.astype(np.float32)[:, None]], axis=1).astype(np.float32)
+    scene_like = types.SimpleNamespace(shading_rows=jnp.asarray(shading_rows))
+    constants = FrameConstants(
+        camera_position=jnp.asarray(origin),
+        pixel_to_ray=jnp.asarray(
+            np.stack([derivs[0], derivs[1],
+                      np.array([0, 0, 1], np.float32)], axis=1)),
+        exposure_factor=jnp.float32(1.0),
+        roughness_factor=jnp.float32(1.0),
+        mis_visibility_estimate=jnp.float32(0.5),
+        error_factor=jnp.float32(1.0),
+        noise_random_numbers=jnp.zeros(4, jnp.uint32))
+
+    hit = np.asarray(prim) != 0xFFFFFFFF
+    safe_p = jnp.where(jnp.asarray(hit), prim, 0).astype(jnp.int32)
+    ref_geom, _ = jax.vmap(functools.partial(
+        geometry_attributes, scene_like, constants))(safe_p, d)
+    got_geom = jax.vmap(geometry_attributes_from_planes)(attrs)
+    found = np.asarray(attrs[:, 17]) > 0.5
+    assert (found == hit).all()
+    for name in ("normal_interp", "tex_coord", "duv_dx", "duv_dy",
+                 "tangent", "bitangent", "mean_tangent_length"):
+        g = np.asarray(getattr(got_geom, name))[hit]
+        r_ = np.asarray(getattr(ref_geom, name))[hit]
+        scale = np.maximum(np.abs(r_).max(), 1e-3)
+        np.testing.assert_allclose(g, r_, atol=3e-5 * scale, rtol=2e-4,
+                                   err_msg=name)
+    np.testing.assert_array_equal(
+        np.asarray(got_geom.material_index)[hit],
+        np.asarray(ref_geom.material_index)[hit])

@@ -132,6 +132,12 @@ class Application:
                 spec.vertex_count for spec in self.scene_spec.lights),
             traversal="wavefront"
             if self.scene.triangle_positions.shape[0] > 4096 else "auto",
+            # On TPU "wavefront" resolves to the Pallas tracer (exact via
+            # the re-trace); these budgets only govern the CPU XLA
+            # wavefront path, where the defaults (24) left the city-scale
+            # figure runs with massive uncertain counts.
+            primary_pairs_per_ray=64,
+            shadow_pairs_per_ray=48,
         )
 
     def _rebuild_scene_noise(self) -> None:

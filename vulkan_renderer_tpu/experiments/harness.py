@@ -326,6 +326,12 @@ def run_experiments(experiments, build_application=None, *,
         if stand_in:
             root, ext = os.path.splitext(path)
             path = f"{root}_standin{ext}"
+        import jax as _jax
+        if _jax.default_backend() == "cpu":
+            # CPU frame times are not TPU measurements; tag the figure so
+            # a timing-in-filename never masquerades as one.
+            root, ext = os.path.splitext(path)
+            path = f"{root}_cpu{ext}"
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         from ..render.screenshot import take_screenshot
         if experiment.hdr:
@@ -363,7 +369,24 @@ def main(argv=None) -> int:
                         "axon TPU platform reliably wedges after ~2-3 "
                         "distinct compiled frame programs per process, so "
                         "the default is one subprocess per experiment)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (JAX_PLATFORMS env is "
+                        "too late once sitecustomize imported jax; this "
+                        "uses jax.config.update before first use). Frame "
+                        "times are then CPU times: outputs are tagged "
+                        "_cpu so no figure claims a TPU measurement")
+    parser.add_argument("--results-csv", default=None,
+                        help="append one CSV row per result (default: "
+                        "<output-dir>/results.csv)")
     args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        # Persistent compile cache: safe on CPU (core/jitcache.py — a
+        # cache HIT hangs the axon TPU platform, so CPU only) and makes
+        # figure-suite re-runs compile-free.
+        from ..core.jitcache import enable as _enable_cache
+        _enable_cache()
 
     experiments = create_experiment_list(
         output_dir=args.output_dir, take_hdr_screenshots=args.hdr)
@@ -393,12 +416,18 @@ def main(argv=None) -> int:
                 cmd += ["--height", str(args.height)]
             if args.hdr:
                 cmd.append("--hdr")
+            if args.cpu:
+                cmd.append("--cpu")
+            if args.results_csv:
+                cmd += ["--results-csv", args.results_csv]
             rc |= subprocess.call(cmd)
         return rc
     if args.width or args.height:
         picked = [(i, dataclasses.replace(
             e, width=args.width or e.width, height=args.height or e.height))
             for i, e in picked]
+    csv_path = args.results_csv or os.path.join(args.output_dir,
+                                                "results.csv")
     for i, e in picked:
         result = run_experiments(
             [e], min_warmup_frames=args.warmup_frames,
@@ -409,6 +438,23 @@ def main(argv=None) -> int:
                     f"overflow={result.shadow_overflow}]")
         print(f"{i:03d}: {result.frame_time_ms:.3f} ms -> "
               f"{result.screenshot_path}{tag}")
+        import jax as _jax
+        os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
+        header = ("index,scene,technique,strategy,spp,width,height,"
+                  "frame_ms,backend,stand_in,primary_uncertain,"
+                  "shadow_overflow,screenshot\n")
+        write_header = not os.path.exists(csv_path)
+        with open(csv_path, "a") as f:
+            if write_header:
+                f.write(header)
+            s = e.settings
+            f.write(",".join(str(x) for x in (
+                i, e.scene, s.polygon_sampling_technique.value,
+                s.sampling_strategy.value, s.sample_count, e.width,
+                e.height, f"{result.frame_time_ms:.3f}",
+                _jax.default_backend(), int(result.stand_in),
+                result.primary_uncertain, result.shadow_overflow,
+                result.screenshot_path)) + "\n")
     return 0
 
 

@@ -647,6 +647,108 @@ def fused_light_shading(data, ltc, hit, noise_pairs, light_scalars,
     return base, b, dirs, t_max
 
 
+def fused_resolved_supported(static, settings: RenderSettings) -> bool:
+    """Whether the resolved (no-shadow) light-grid kernel applies: the
+    estimator is affine in visibility, so with trace_shadow_rays=False
+    every ray slot resolves to V=1 and the kernel can accumulate color
+    in-register instead of exporting 7 planes per ray slot. The light
+    axis becomes a grid dimension (one light per step), so the 128-light
+    timing-sweep cases (experiment_list.c:364-409) compile O(1) in light
+    count. Requires a uniform vertex count across lights (the per-step
+    kernel body is specialized on one static nv; the sweep's layouts are
+    uniform n-gons)."""
+    if settings.trace_shadow_rays:
+        return False
+    if not fused_supported(static, settings):
+        return False
+    return len(set(static.light_vertex_counts)) == 1
+
+
+@functools.partial(jax.jit, static_argnames=("static", "settings",
+                                             "interpret", "tile_rows"))
+def fused_light_shading_resolved(data, ltc, hit, noise_pairs, light_scalars,
+                                 mis_visibility_estimate, static,
+                                 settings: RenderSettings,
+                                 interpret: bool = False,
+                                 tile_rows: int = 32):
+    """Fused shading with visibility resolved to 1 (no shadow rays).
+
+    Grid (pixel tiles, lights): each step shades ONE light for one tile
+    and accumulates into a 3-plane output block (revisited across the
+    innermost light dimension). Per-light scalars are read from SMEM at
+    the traced light index; per-light noise planes arrive via the
+    BlockSpec index map. Returns base (P, 3)."""
+    nv = static.light_vertex_counts[0]
+    # Equals render/shading.py pairs_per_light for the fused strategies.
+    ppl = rays_per_light_fused(settings)
+    n_lights = static.light_count
+    p = data.roughness.shape[0]
+
+    planes = _pack_planes(data, ltc, hit, noise_pairs[:, :0])
+    nin = planes.shape[0]
+    # (P, L*ppl, 2) -> (L, 2*ppl, P): light-major noise planes.
+    noise = noise_pairs.reshape(p, n_lights, ppl, 2) \
+        .transpose(1, 2, 3, 0).reshape(n_lights, 2 * ppl, p)
+
+    lane = 128
+    chunk = tile_rows * lane
+    p_pad = -(-p // chunk) * chunk
+    if p_pad != p:
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((nin, p_pad - p), planes.dtype)], axis=1)
+        noise = jnp.concatenate(
+            [noise, jnp.zeros((n_lights, 2 * ppl, p_pad - p), noise.dtype)],
+            axis=2)
+    rows = p_pad // lane
+    planes = planes.reshape(nin, rows, lane)
+    noise = noise.reshape(n_lights, 2 * ppl, rows, lane)
+
+    mis_arr = jnp.reshape(jnp.asarray(mis_visibility_estimate,
+                                      jnp.float32), (1, 1))
+
+    def kernel(planes_ref, noise_ref, ls_ref, mis_ref, out_ref):
+        li = pl.program_id(1)
+
+        @pl.when(li == 0)
+        def _():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        px = _unpack_px(planes_ref[...])
+        light = _read_light(ls_ref, li, nv)
+        pair_planes = [(noise_ref[0, 2 * q], noise_ref[0, 2 * q + 1])
+                       for q in range(ppl)]
+        lbase, slots = _shade_one_light(px, light, nv, settings,
+                                        mis_ref[0, 0], pair_planes)
+        total = lbase
+        for (b, _, _) in slots:
+            total = vadd(total, b)
+        out_ref[...] += jnp.stack([total[0], total[1], total[2]], axis=0)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3, rows, lane), jnp.float32),
+        grid=(rows // tile_rows, n_lights),
+        in_specs=[
+            pl.BlockSpec((nin, tile_rows, lane), lambda i, li: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * ppl, tile_rows, lane),
+                         lambda i, li: (li, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(light_scalars.shape, lambda i, li: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, li: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((3, tile_rows, lane), lambda i, li: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(planes, noise, light_scalars, mis_arr)
+
+    return out.reshape(3, p_pad)[:, :p].T
+
+
 def fused_light_shading_xla(data, ltc, hit, noise_pairs, light_scalars,
                             mis_visibility_estimate, static,
                             settings: RenderSettings):

@@ -66,15 +66,23 @@ def make_frame_constants(camera: FirstPersonCamera, width: int, height: int,
 
 def _pixel_preamble(scene: Scene, static: SceneStatic,
                     settings: RenderSettings, constants: FrameConstants,
-                    primitive_index, ray_direction):
+                    primitive_index, ray_direction, geom=None,
+                    position=None):
     """Per-pixel work shared by the fused and vmapped shading paths:
-    shading-data reconstruction, light display, LTC fetch."""
+    shading-data reconstruction, light display, LTC fetch. geom/position
+    short-circuit the geometry half when the Pallas attribute-fetch kernel
+    already produced them (trace_kernel.trace_closest_attrs)."""
     hit = primitive_index != INVALID_PRIMITIVE
     safe_prim = jnp.where(hit, primitive_index, 0).astype(jnp.int32)
 
-    data = get_shading_data(scene, constants, constants.roughness_factor,
-                            safe_prim, ray_direction,
-                            max_anisotropy=static.max_anisotropy)
+    if geom is None:
+        from .shading import geometry_attributes
+        geom, position = geometry_attributes(scene, constants, safe_prim,
+                                             ray_direction)
+    from .shading import finish_shading_data
+    data = finish_shading_data(scene, constants, constants.roughness_factor,
+                               geom, position,
+                               max_anisotropy=static.max_anisotropy)
 
     base = jnp.zeros(3)
     view_dir = normalize(ray_direction)
@@ -103,13 +111,14 @@ def _pixel_preamble(scene: Scene, static: SceneStatic,
 
 def _shade_pixel(scene: Scene, static: SceneStatic, settings: RenderSettings,
                  constants: FrameConstants,
-                 pixel_xy, primitive_index, ray_direction, noise_pairs):
+                 pixel_xy, primitive_index, ray_direction, noise_pairs,
+                 geom=None, position=None):
     """Per-pixel shading EXCEPT shadow visibility (deferred): returns
     (base (3,), b (S,3), ray_dirs (S,3), t_max (S,), origin (3,)).
     Final color = postprocess((base + sum b_i * V_i) * exposure)."""
     hit, data, ltc, base = _pixel_preamble(scene, static, settings,
                                            constants, primitive_index,
-                                           ray_direction)
+                                           ray_direction, geom, position)
     ppl = pairs_per_light(settings)
     b_all, dir_all, tmax_all = [], [], []
     for i in range(static.light_count):
@@ -206,6 +215,47 @@ def render_frame_jit(scene: Scene, static: SceneStatic,
                                   row_offset)
 
 
+def _pack_geom_planes(geom, position_unused=None):
+    """Inverse of shading.geometry_attributes_from_planes: one (18,) row
+    in the attribute-kernel layout (found = 1)."""
+    return jnp.concatenate([
+        geom.normal_interp, geom.tex_coord, geom.duv_dx, geom.duv_dy,
+        geom.tangent, geom.bitangent,
+        jnp.stack([geom.mean_tangent_length,
+                   geom.material_index.astype(jnp.float32),
+                   jnp.float32(1.0)])])
+
+
+def _fixup_stale_attrs(scene, constants, attr_planes, stale, prim, ray_dirs):
+    """Recompute attributes for rays whose re-traced primitive is not
+    covered by the attribute kernel's first-pass output: a small compacted
+    shading_rows gather under lax.cond (free when the re-trace changed
+    nothing). Returns (attr_planes, residual) — residual counts stale rays
+    beyond the fixup capacity (surfaced in primary_uncertain)."""
+    from .trace_kernel import _compact_indices
+    from .shading import geometry_attributes
+    r = stale.shape[0]
+    cap = min(r, max(128, r // 32))
+
+    def fix(_):
+        idx, count = _compact_indices(stale, cap)
+        live = jnp.arange(cap, dtype=jnp.int32) < count
+        safe_p = jnp.where(live, prim[idx], 0).astype(jnp.int32)
+        geom, _ = jax.vmap(functools.partial(geometry_attributes, scene,
+                                             constants))(
+            safe_p, ray_dirs[idx])
+        rows = jax.vmap(_pack_geom_planes)(geom)
+        scatter_idx = jnp.where(live, idx, jnp.int32(r))
+        out = attr_planes.at[scatter_idx].set(rows, mode="drop")
+        residual = jnp.sum(stale, dtype=jnp.int32) - count
+        return out, residual
+
+    def skip(_):
+        return attr_planes, jnp.int32(0)
+
+    return jax.lax.cond(jnp.any(stale), fix, skip, None)
+
+
 def _stage_stub(width, height, with_stats, *tensors):
     """Early-exit image for stop_after profiling: depends on every stage
     output so XLA cannot dead-code the measured work."""
@@ -256,13 +306,43 @@ def _render_frame_body(scene, static, settings, constants, width, height,
         return _stage_stub(width, height, with_stats, ray_dirs)
     primary_uncertain = jnp.int32(0)
     shadow_overflow = jnp.int32(0)
+    geom_attrs = None
+    attr_position = None
     if use_pallas_trace:
-        from .trace_kernel import trace_anyhit_fused, trace_closest_fused
-        primitive_index, _, primary_uncertain = trace_closest_fused(
-            scene.clusters,
-            jnp.broadcast_to(constants.camera_position, ray_dirs.shape),
-            ray_dirs, chunk_rows=static.trace_chunk_rows,
-            m_budget=static.primary_m_budget, interpret=trace_interpret)
+        from .trace_kernel import (trace_anyhit_fused, trace_closest_attrs,
+                                   trace_closest_fused)
+        if scene.clusters.attrs is not None:
+            # Closest hit + in-kernel attribute fetch: replaces the
+            # per-pixel shading_rows gather + vmapped re-intersection
+            # (the round-2 preamble bottleneck, VERDICT r2 #1).
+            primitive_index, t_hit, primary_uncertain, attr_planes, stale \
+                = trace_closest_attrs(
+                    scene.clusters,
+                    jnp.broadcast_to(constants.camera_position,
+                                     ray_dirs.shape),
+                    ray_dirs, constants.pixel_to_ray[:, :2].T,
+                    chunk_rows=static.trace_chunk_rows,
+                    m_budget=static.primary_m_budget,
+                    interpret=trace_interpret,
+                    retrace_factor=static.retrace_factor)
+            attr_planes, fix_residual = _fixup_stale_attrs(
+                scene, constants, attr_planes, stale, primitive_index,
+                ray_dirs)
+            primary_uncertain = primary_uncertain + fix_residual
+            hit0 = primitive_index != INVALID_PRIMITIVE
+            t_safe = jnp.where(hit0 & jnp.isfinite(t_hit), t_hit, 0.0)
+            attr_position = constants.camera_position \
+                + t_safe[:, None] * ray_dirs
+            from .shading import geometry_attributes_from_planes
+            geom_attrs = jax.vmap(geometry_attributes_from_planes)(
+                attr_planes)
+        else:
+            primitive_index, _, primary_uncertain = trace_closest_fused(
+                scene.clusters,
+                jnp.broadcast_to(constants.camera_position, ray_dirs.shape),
+                ray_dirs, chunk_rows=static.trace_chunk_rows,
+                m_budget=static.primary_m_budget, interpret=trace_interpret,
+                retrace_factor=static.retrace_factor)
     elif traversal == "wavefront":
         primitive_index, _, primary_uncertain = trace_closest(
             scene.clusters, constants.camera_position, ray_dirs,
@@ -306,29 +386,53 @@ def _render_frame_body(scene, static, settings, constants, width, height,
         return _stage_stub(width, height, with_stats, primitive_index,
                            noise_pairs)
     if _use_fused(static, settings):
-        from .fused import _pack_light_scalars, fused_light_shading
+        from .fused import (_pack_light_scalars, fused_light_shading,
+                            fused_light_shading_resolved,
+                            fused_resolved_supported)
         preamble = functools.partial(_pixel_preamble, scene, static,
                                      settings, constants)
-        hit, data, ltc, base0 = jax.vmap(preamble)(primitive_index,
-                                                   ray_dirs)
+        if geom_attrs is not None:
+            hit, data, ltc, base0 = jax.vmap(preamble)(
+                primitive_index, ray_dirs, geom_attrs, attr_position)
+        else:
+            hit, data, ltc, base0 = jax.vmap(preamble)(primitive_index,
+                                                       ray_dirs)
         if stop_after == "preamble":
             import jax as _jax
             return _stage_stub(width, height, with_stats, base0,
                                *_jax.tree.leaves((data, ltc)))
         light_scalars = _pack_light_scalars(scene.lights,
                                             static.light_count)
-        base_l, b, dirs, tmax = fused_light_shading(
-            data, ltc, hit, noise_pairs, light_scalars,
-            constants.mis_visibility_estimate, static, settings,
-            interpret=jax.default_backend() == "cpu")
+        if fused_resolved_supported(static, settings):
+            # No shadow rays: every slot's visibility is 1, so the kernel
+            # accumulates color in-register (no per-ray slot export) and
+            # iterates lights as a grid dimension.
+            base_l = fused_light_shading_resolved(
+                data, ltc, hit, noise_pairs, light_scalars,
+                constants.mis_visibility_estimate, static, settings,
+                interpret=jax.default_backend() == "cpu")
+            npx = base_l.shape[0]
+            b = jnp.zeros((npx, 0, 3))
+            dirs = jnp.zeros((npx, 0, 3))
+            tmax = jnp.zeros((npx, 0))
+        else:
+            base_l, b, dirs, tmax = fused_light_shading(
+                data, ltc, hit, noise_pairs, light_scalars,
+                constants.mis_visibility_estimate, static, settings,
+                interpret=jax.default_backend() == "cpu")
         base = base0 + base_l
         origins = jnp.where(hit[:, None], data.position,
                             constants.camera_position)
     else:
         shade = functools.partial(_shade_pixel, scene, static, settings,
                                   constants)
-        base, b, dirs, tmax, origins = jax.vmap(shade)(
-            pixels_i, primitive_index, ray_dirs, noise_pairs)
+        if geom_attrs is not None:
+            base, b, dirs, tmax, origins = jax.vmap(shade)(
+                pixels_i, primitive_index, ray_dirs, noise_pairs,
+                geom_attrs, attr_position)
+        else:
+            base, b, dirs, tmax, origins = jax.vmap(shade)(
+                pixels_i, primitive_index, ray_dirs, noise_pairs)
 
     if stop_after == "shade":
         return _stage_stub(width, height, with_stats, base, b, dirs, tmax,
@@ -353,7 +457,8 @@ def _render_frame_body(scene, static, settings, constants, width, height,
             occluded, shadow_overflow = trace_anyhit_fused(
                 scene.clusters, flat_origins, flat_dirs, flat_tmax,
                 chunk_rows=static.trace_chunk_rows,
-                m_budget=static.shadow_m_budget, interpret=trace_interpret)
+                m_budget=static.shadow_m_budget, interpret=trace_interpret,
+                retrace_factor=static.retrace_factor)
         elif traversal == "wavefront":
             occluded, shadow_overflow = trace_anyhit(
                 scene.clusters, flat_origins, flat_dirs, flat_tmax,

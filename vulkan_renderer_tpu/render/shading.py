@@ -78,6 +78,12 @@ class SceneStatic:
     trace_chunk_rows: int = 16
     primary_m_budget: int = 64
     shadow_m_budget: int = 48
+    # Exactness re-trace: rays left unproven by the budgets above are
+    # compacted and re-traced with 4x smaller chunks (tighter unions) and
+    # budgets scaled by this factor (lax.cond-gated, free when the first
+    # pass is exact). 1 disables — counters then report first-pass
+    # overflow as in round 2.
+    retrace_factor: int = 2
     # Material-sampler anisotropic filtering taps (reference:
     # scene.c:546-557 enables maxAnisotropy=16 in hardware). Default 1 =
     # isotropic trilinear: each extra tap is a full trilinear gather per
@@ -135,20 +141,32 @@ def error_to_color(error, error_factor):
 # Shading-data reconstruction (shading_pass.frag.glsl:720-826)
 # ---------------------------------------------------------------------------
 
-def get_shading_data(scene, constants: FrameConstants,
-                     roughness_factor, primitive_index, ray_direction,
-                     max_anisotropy: int = 1):
-    """Recover full shading data by re-intersecting the view ray with the
-    visible triangle; unbatched (one pixel). max_anisotropy mirrors the
-    reference material sampler's anisotropic filtering (scene.c:546-557,
-    maxAnisotropy=16); the default of 1 keeps the single-trilinear gather
-    cost (each anisotropy tap adds a full trilinear fetch on the hottest
-    gather path)."""
-    # One packed 96-byte row gather instead of three (scene.shading_rows).
+class GeometryAttributes(NamedTuple):
+    """Per-pixel triangle-derived attributes (glsl:738-812) — everything
+    get_shading_data needs BEFORE the texture fetch. Produced either by
+    geometry_attributes (XLA, shading_rows gather) or by the Pallas
+    attribute-fetch kernel (trace_kernel.trace_closest_attrs)."""
+    normal_interp: jnp.ndarray   # (3,) normalized interpolated normal
+    tex_coord: jnp.ndarray       # (2,)
+    duv_dx: jnp.ndarray          # (2,)
+    duv_dy: jnp.ndarray          # (2,)
+    tangent: jnp.ndarray         # (3,) unnormalized
+    bitangent: jnp.ndarray       # (3,)
+    mean_tangent_length: jnp.ndarray  # ()
+    material_index: jnp.ndarray  # () int32
+
+
+def geometry_attributes(scene, constants: FrameConstants, primitive_index,
+                        ray_direction):
+    """XLA path: one packed shading_rows gather + re-intersection math.
+    Returns (GeometryAttributes, position (3,)). Unbatched (one pixel)."""
+    # One packed 100-byte row gather instead of four (scene.shading_rows
+    # carries positions+normals+uvs+material index; gathers cost per row).
     row = scene.shading_rows[primitive_index]
     positions = row[0:9].reshape(3, 3)
     normals = row[9:18].reshape(3, 3)
     tex_coords = row[18:24].reshape(3, 2)
+    material_index = row[24].astype(jnp.int32)
 
     bary, bary_derivs = ray_triangle_barycentrics(
         constants.camera_position, ray_direction, positions,
@@ -163,12 +181,53 @@ def get_shading_data(scene, constants: FrameConstants,
     tex_coord_derivs = jnp.sum(bary_derivs[:, :, None]
                                * tex_coords[None, :, :], axis=1)
 
-    material_index = scene.material_indices[primitive_index]
+    # Tangent frame from UV edges (glsl:800-812).
+    edges = jnp.stack([positions[1] - positions[0],
+                       positions[2] - positions[0]])
+    tex_edges = jnp.stack([tex_coords[1] - tex_coords[0],
+                           tex_coords[2] - tex_coords[0]])
+    normal_cross_e0 = jnp.cross(interp_normal, edges[0])
+    e1_cross_normal = jnp.cross(edges[1], interp_normal)
+    tangent = e1_cross_normal * tex_edges[0, 0] + normal_cross_e0 * tex_edges[1, 0]
+    bitangent = e1_cross_normal * tex_edges[0, 1] + normal_cross_e0 * tex_edges[1, 1]
+    mean_tangent_length = jnp.sqrt(0.5 * (jnp.sum(tangent ** 2)
+                                          + jnp.sum(bitangent ** 2)))
+    geom = GeometryAttributes(
+        normal_interp=interp_normal, tex_coord=tex_coord,
+        duv_dx=tex_coord_derivs[0], duv_dy=tex_coord_derivs[1],
+        tangent=tangent, bitangent=bitangent,
+        mean_tangent_length=mean_tangent_length,
+        material_index=material_index)
+    return geom, position
+
+
+def geometry_attributes_from_planes(attrs_row):
+    """Adapt one attribute-kernel output row (trace_kernel.ATTR_PLANES,)
+    to GeometryAttributes (same quantities, computed in-kernel)."""
+    return GeometryAttributes(
+        normal_interp=attrs_row[0:3],
+        tex_coord=attrs_row[3:5],
+        duv_dx=attrs_row[5:7],
+        duv_dy=attrs_row[7:9],
+        tangent=attrs_row[9:12],
+        bitangent=attrs_row[12:15],
+        mean_tangent_length=attrs_row[15],
+        material_index=attrs_row[16].astype(jnp.int32))
+
+
+def finish_shading_data(scene, constants: FrameConstants, roughness_factor,
+                        geom: GeometryAttributes, position,
+                        max_anisotropy: int = 1):
+    """Texture fetch + Falcor decode + normal mapping + hemisphere clip
+    (glsl:779-823); unbatched. max_anisotropy mirrors the reference
+    material sampler's anisotropic filtering (scene.c:546-557,
+    maxAnisotropy=16); the default of 1 keeps the single-trilinear gather
+    cost (each anisotropy tap adds a full trilinear fetch on the hottest
+    gather path)."""
     # One 8-channel fetch: [base.rgb, specular.rgb, normal.xy].
     texel = sample_texture_grad(
-        scene.material_atlas, material_index, tex_coord,
-        tex_coord_derivs[0], tex_coord_derivs[1],
-        max_anisotropy=max_anisotropy)
+        scene.material_atlas, geom.material_index, geom.tex_coord,
+        geom.duv_dx, geom.duv_dy, max_anisotropy=max_anisotropy)
     base_color = texel[0:3]
     specular_data = texel[3:6]
     normal_ts_xy = texel[6:8] * 2.0 - 1.0
@@ -183,20 +242,10 @@ def get_shading_data(scene, constants: FrameConstants,
     roughness = linear_roughness * linear_roughness
     roughness = jnp.clip(roughness * roughness_factor, 0.0064, 1.0)
 
-    # Tangent frame from UV edges (glsl:800-812).
-    edges = jnp.stack([positions[1] - positions[0],
-                       positions[2] - positions[0]])
-    tex_edges = jnp.stack([tex_coords[1] - tex_coords[0],
-                           tex_coords[2] - tex_coords[0]])
-    normal_cross_e0 = jnp.cross(interp_normal, edges[0])
-    e1_cross_normal = jnp.cross(edges[1], interp_normal)
-    tangent = e1_cross_normal * tex_edges[0, 0] + normal_cross_e0 * tex_edges[1, 0]
-    bitangent = e1_cross_normal * tex_edges[0, 1] + normal_cross_e0 * tex_edges[1, 1]
-    mean_tangent_length = jnp.sqrt(0.5 * (jnp.sum(tangent ** 2)
-                                          + jnp.sum(bitangent ** 2)))
-    nz = normal_ts_z * jnp.maximum(1.0e-10, mean_tangent_length)
-    normal = normalize(normal_ts_xy[0] * tangent + normal_ts_xy[1] * bitangent
-                       + nz * interp_normal)
+    nz = normal_ts_z * jnp.maximum(1.0e-10, geom.mean_tangent_length)
+    normal = normalize(normal_ts_xy[0] * geom.tangent
+                       + normal_ts_xy[1] * geom.bitangent
+                       + nz * geom.normal_interp)
 
     # Clip the shading normal into the outgoing hemisphere (glsl:815-823).
     outgoing = normalize(constants.camera_position - position)
@@ -212,6 +261,19 @@ def get_shading_data(scene, constants: FrameConstants,
         fresnel_0=fresnel_0,
         roughness=roughness,
     )
+
+
+def get_shading_data(scene, constants: FrameConstants,
+                     roughness_factor, primitive_index, ray_direction,
+                     max_anisotropy: int = 1):
+    """Recover full shading data by re-intersecting the view ray with the
+    visible triangle; unbatched (one pixel). Composition of
+    geometry_attributes + finish_shading_data (split so the Pallas
+    attribute-fetch kernel can replace the first half on TPU)."""
+    geom, position = geometry_attributes(scene, constants, primitive_index,
+                                         ray_direction)
+    return finish_shading_data(scene, constants, roughness_factor, geom,
+                               position, max_anisotropy)
 
 
 # ---------------------------------------------------------------------------

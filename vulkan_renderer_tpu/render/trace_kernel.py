@@ -124,12 +124,13 @@ def _nearest_k(t_sel, ids, budget: int):
         & keep[:, None]
     sel_ids = jnp.sum(jnp.where(onehot, ids[:, None], 0), axis=0)
     valid = jnp.any(onehot, axis=0)
-    # First dropped entry = smallest t among rank >= budget (inf if none).
-    t_bound = jnp.min(jnp.where(rank >= budget, t_sel, jnp.inf))
+    # Dropped = potentially hit but beyond the budget (callers derive
+    # per-ray exactness bounds from it).
+    dropped_sel = jnp.isfinite(t_sel) & (rank >= budget)
     n_valid = jnp.sum(keep, dtype=jnp.int32)
     last_valid = sel_ids[jnp.maximum(n_valid - 1, 0)]
     sel_ids = jnp.where(valid, sel_ids, last_valid)
-    return sel_ids.astype(jnp.int32), valid, t_bound
+    return sel_ids.astype(jnp.int32), valid, dropped_sel
 
 
 def _union_cull(clusters: Clusters, origins, dirs, t_max, chunk: int,
@@ -139,10 +140,13 @@ def _union_cull(clusters: Clusters, origins, dirs, t_max, chunk: int,
     their near geometry and push drops far away, mirroring the XLA
     tracer's nearest-first cull (wavefront.py _cull_topk_nearest).
 
-    Returns (ids (NC*M,) i32, valid (NC*M,) i32, t_bound (NC,) f32,
-    dropped (), NC). t_bound is the slab entry of the first dropped
-    cluster (inf when exact): any per-ray result with t <= t_bound is
-    provably exact. `dropped` counts potentially-hit dropped clusters."""
+    Returns (ids (NC*M,) i32, valid (NC*M,) i32, t_bound (NC, chunk) f32,
+    dropped (), NC). t_bound is PER RAY: the smallest slab entry among
+    dropped clusters whose slab test hits that ray (inf when none — then
+    the ray's result is provably exact up to any t <= t_bound). The
+    per-ray form matters: a chunk-level bound flags every ray in a chunk
+    for one far dropped cluster, inflating the unproven set ~50x at the
+    flagship config. `dropped` counts potentially-hit dropped clusters."""
     k = clusters.cluster_count
     (o_c, d_c, t_c), r = _chunk_rows([origins, dirs, t_max], chunk)
     two_level = k > _TWO_LEVEL_MIN_CLUSTERS
@@ -163,10 +167,13 @@ def _union_cull(clusters: Clusters, origins, dirs, t_max, chunk: int,
         if two_level:
             sc_mask, sc_near = _slab_mask(sc_lo, sc_hi, o, d, t)
             sc_t = jnp.min(jnp.where(sc_mask, sc_near, jnp.inf), axis=0)
-            sc_ids, sc_valid, sc_bound = _nearest_k(
+            sc_ids, sc_valid, sc_dropped_sel = _nearest_k(
                 sc_t, jnp.arange(ks, dtype=jnp.int32), min(sc_budget, ks))
-            sc_dropped = jnp.sum(jnp.isfinite(sc_t), dtype=jnp.int32) \
-                - jnp.sum(sc_valid, dtype=jnp.int32)
+            # Per-ray bound from dropped superclusters: the sc AABB entry
+            # lower-bounds every member's entry.
+            sc_bound = jnp.min(jnp.where(sc_mask & sc_dropped_sel[None, :],
+                                         sc_near, jnp.inf), axis=1)
+            sc_dropped = jnp.sum(sc_dropped_sel, dtype=jnp.int32)
             member_ids = (sc_ids[:, None] * _SC_GROUP
                           + member_offsets[None, :]).reshape(-1)
             # Padded/dropped superclusters contribute NaN AABBs (never
@@ -179,22 +186,22 @@ def _union_cull(clusters: Clusters, origins, dirs, t_max, chunk: int,
                                    -1, _SC_GROUP, 3), jnp.nan).reshape(-1, 3)
             mask, t_near = _slab_mask(sel_lo, sel_hi, o, d, t)
             t_sel = jnp.min(jnp.where(mask, t_near, jnp.inf), axis=0)
-            ids, valid, t_bound = _nearest_k(
+            ids, valid, dropped_sel = _nearest_k(
                 t_sel, member_ids, min(m_budget, member_ids.shape[0]))
-            # A dropped supercluster may hide nearer geometry than any
-            # dropped member cluster.
-            t_bound = jnp.minimum(t_bound, sc_bound)
+            m_bound = jnp.min(jnp.where(mask & dropped_sel[None, :],
+                                        t_near, jnp.inf), axis=1)
+            t_bound = jnp.minimum(m_bound, sc_bound)
             dropped = sc_dropped * jnp.int32(_SC_GROUP) \
-                + jnp.sum(jnp.isfinite(t_sel), dtype=jnp.int32) \
-                - jnp.sum(valid, dtype=jnp.int32)
+                + jnp.sum(dropped_sel, dtype=jnp.int32)
         else:
             mask, t_near = _slab_mask(clusters.aabb_lo, clusters.aabb_hi,
                                       o, d, t)
             t_sel = jnp.min(jnp.where(mask, t_near, jnp.inf), axis=0)
-            ids, valid, t_bound = _nearest_k(t_sel, all_ids,
-                                             min(m_budget, k))
-            dropped = jnp.sum(jnp.isfinite(t_sel), dtype=jnp.int32) \
-                - jnp.sum(valid, dtype=jnp.int32)
+            ids, valid, dropped_sel = _nearest_k(t_sel, all_ids,
+                                                 min(m_budget, k))
+            t_bound = jnp.min(jnp.where(mask & dropped_sel[None, :],
+                                        t_near, jnp.inf), axis=1)
+            dropped = jnp.sum(dropped_sel, dtype=jnp.int32)
         return (ids, valid.astype(jnp.int32), t_bound, dropped)
 
     # Blocks of _CULL_BLOCK chunks, vmapped inside a lax.map step: the
@@ -220,7 +227,7 @@ def _union_cull(clusters: Clusters, origins, dirs, t_max, chunk: int,
     ids, valid, t_bound, dropped = jax.lax.map(jax.vmap(body), blocked)
     ids = ids.reshape((ns * cb,) + ids.shape[2:])[:nc]
     valid = valid.reshape((ns * cb,) + valid.shape[2:])[:nc]
-    t_bound = t_bound.reshape(-1)[:nc]
+    t_bound = t_bound.reshape(ns * cb, chunk)[:nc]
     dropped = jnp.sum(dropped.reshape(-1)[:nc])
     # Invalid slots may carry padding member ids >= K; clamp so the
     # kernel's scalar-prefetched DMA index map stays in bounds (valid
@@ -276,7 +283,8 @@ def _ray_slab(aabb_ref, ox, oy, oz, dx, dy, dz, t_cap):
         far = jnp.maximum(t0, t1)
         t_near = near if t_near is None else jnp.maximum(t_near, near)
         t_far = far if t_far is None else jnp.minimum(t_far, far)
-    return (t_near <= t_far) & (t_far >= 0.0) & (t_near <= t_cap), t_near
+    return (t_near <= t_far) & (t_far >= 0.0) & (t_near <= t_cap) \
+        & (t_cap >= 0.0), t_near
 
 
 def _tri_scalars(tab_ref, t: int, c: int):
@@ -292,8 +300,8 @@ _MAX_PREFETCH_BYTES = 384 * 1024
 _MIN_SLICE_CHUNKS = 64
 
 
-def _dead_ray_rows(nrows: int):
-    z = jnp.zeros((7, nrows, _LANE), jnp.float32)
+def _dead_ray_rows(nrows: int, n_planes: int = 7):
+    z = jnp.zeros((n_planes, nrows, _LANE), jnp.float32)
     z = z.at[5].set(1.0)    # dz = 1 (unit direction)
     z = z.at[6].set(-1.0)   # t_max = -1: fails every slab test
     return z
@@ -303,7 +311,10 @@ def _sliced_call(call_one, nc: int, m: int, chunk_rows: int,
                  ids, valid, rays):
     """Run call_one(ids, valid, rays, nc_slice) over chunk slices bounded
     by the SMEM prefetch budget, concatenating outputs along rows. Output
-    rows beyond the real ray count are padding (callers trim)."""
+    rows beyond the real ray count are padding (callers trim). rays may
+    carry extra planes beyond the 7 ray components (e.g. primitive ids for
+    the attribute pass)."""
+    n_planes = rays.shape[0]
     max_chunks = max(_MIN_SLICE_CHUNKS, _MAX_PREFETCH_BYTES // (m * 8))
     if nc <= max_chunks:
         return call_one(ids, valid, rays, nc)
@@ -313,10 +324,10 @@ def _sliced_call(call_one, nc: int, m: int, chunk_rows: int,
         ids = jnp.concatenate([ids, jnp.zeros((pad * m,), ids.dtype)])
         valid = jnp.concatenate([valid, jnp.zeros((pad * m,), valid.dtype)])
         rays = jnp.concatenate(
-            [rays, _dead_ray_rows(pad * chunk_rows)], axis=1)
+            [rays, _dead_ray_rows(pad * chunk_rows, n_planes)], axis=1)
     ids = ids.reshape(ns, max_chunks * m)
     valid = valid.reshape(ns, max_chunks * m)
-    rays = rays.reshape(7, ns, max_chunks * chunk_rows, _LANE) \
+    rays = rays.reshape(n_planes, ns, max_chunks * chunk_rows, _LANE) \
         .transpose(1, 0, 2, 3)
     outs = jax.lax.map(
         lambda args: call_one(args[0], args[1], args[2], max_chunks),
@@ -325,13 +336,11 @@ def _sliced_call(call_one, nc: int, m: int, chunk_rows: int,
         lambda o: o.reshape((-1,) + o.shape[2:]), outs)
 
 
-def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
-                       chunk_rows: int = 16, m_budget: int = 32,
-                       t_min: float = 1.0e-3, interpret: bool = False,
-                       sc_budget: int = _SC_BUDGET):
-    """Any-hit (shadow) test. Returns (occluded bool (R,), overflow ()).
-
-    overflow counts LIVE rays whose un-occluded result lacks the exactness
+def _anyhit_pass(clusters: Clusters, origins, dirs, t_max,
+                 chunk_rows: int, m_budget: int,
+                 t_min: float, interpret: bool, sc_budget: int):
+    """One any-hit pass. Returns (occluded bool (R,), unproven bool (R,)):
+    unproven marks live rays whose un-occluded result lacks the exactness
     guarantee (a budget-dropped cluster could still intersect their
     segment); found occlusions are always definite."""
     origins = jnp.broadcast_to(origins, dirs.shape)
@@ -425,23 +434,99 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
     # when no dropped cluster could intersect its [t_min, t_max] segment.
     tmax_flat = rays.reshape(7, -1)[6]
     live = (jnp.arange(nc * chunk) < r) & (tmax_flat >= 0.0)
-    bound = jnp.repeat(t_bound, chunk)
-    overflow = jnp.sum(live & ~occluded & (bound < tmax_flat),
-                       dtype=jnp.int32)
-    return occluded[:r], overflow
+    bound = t_bound.reshape(-1)
+    unproven = live & ~occluded & (bound < tmax_flat)
+    return occluded[:r], unproven[:r]
 
 
-def trace_closest_fused(clusters: Clusters, origins, dirs,
-                        chunk_rows: int = 16, m_budget: int = 48,
-                        t_min: float = 1.0e-3, interpret: bool = False,
-                        sc_budget: int = 32):
-    """Closest hit. Returns (prim uint32 (R,), t (R,), uncertain ()).
+# Re-trace pass geometry: unproven rays are compacted (fixed capacity =
+# ray_count // _RETRACE_CAPACITY_DIV, in original Morton order so spatial
+# coherence survives) and re-traced in chunks _RETRACE_CHUNK_DIV x smaller
+# with _RETRACE_BUDGET_SCALE x budgets. Smaller ray bundles have far
+# tighter cluster unions, which is where first-pass overflow comes from;
+# scaling only the budgets instead costs quadratically in the rank-select
+# pool (measured 3x frame time at the flagship config) and still leaves
+# residuals.
+_RETRACE_CAPACITY_DIV = 8
+_RETRACE_CHUNK_DIV = 4
+_RETRACE_BUDGET_SCALE = 2
 
-    uncertain counts rays whose best t exceeds the chunk's first-dropped-
-    cluster entry bound — only those could be wrong when budgets
-    overflow (front-to-back selection makes near hits provably exact)."""
+
+def _compact_indices(mask, capacity: int):
+    """Indices of the first `capacity` set lanes of mask, in order.
+    Returns (idx (capacity,) i32, count ()): slots >= count hold 0 and
+    must be gated by the caller."""
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    pos = jnp.where(mask, rank, capacity)  # out-of-range scatters drop
+    idx = jnp.zeros((capacity,), jnp.int32).at[pos].set(
+        jnp.arange(mask.shape[0], dtype=jnp.int32), mode="drop")
+    count = jnp.minimum(jnp.sum(mask, dtype=jnp.int32),
+                        jnp.int32(capacity))
+    return idx, count
+
+
+def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
+                       chunk_rows: int = 16, m_budget: int = 32,
+                       t_min: float = 1.0e-3, interpret: bool = False,
+                       sc_budget: int = _SC_BUDGET,
+                       retrace_factor: int = _RETRACE_BUDGET_SCALE):
+    """Any-hit (shadow) test. Returns (occluded bool (R,), overflow ()).
+
+    Exactness re-trace (the reference's ray queries are exact, period —
+    shading_pass.frag.glsl:120-138): when pass 1 leaves unproven rays
+    (cluster budget overflow), they are compacted and re-traced with
+    smaller chunks and `retrace_factor`x budgets, under lax.cond so exact
+    frames pay nothing. overflow counts rays still unproven after the
+    re-trace (capacity-truncated rays included)."""
     origins = jnp.broadcast_to(origins, dirs.shape)
-    t_max = jnp.full(dirs.shape[:1], jnp.inf, jnp.float32)
+    occluded, unproven = _anyhit_pass(clusters, origins, dirs, t_max,
+                                      chunk_rows, m_budget, t_min,
+                                      interpret, sc_budget)
+    if retrace_factor <= 1:
+        return occluded, jnp.sum(unproven, dtype=jnp.int32)
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max), dirs.shape[:1])
+    r = dirs.shape[0]
+    # Mosaic needs the ray-block sublane dim divisible by 8; tiny chunks
+    # (interpret-mode tests) are exempt because the block equals the array.
+    rows2 = chunk_rows if chunk_rows <= 8 \
+        else max(8, chunk_rows // _RETRACE_CHUNK_DIV)
+    # Full coverage for small batches; 1/_RETRACE_CAPACITY_DIV of the
+    # megabatch beyond 64k rays (measured unproven fractions are ~5%, so
+    # 12.5% capacity has slack; truncation shows up in the counter).
+    want = max(r // _RETRACE_CAPACITY_DIV, min(r, 64 * 1024))
+    cap = -(-want // (rows2 * _LANE)) * rows2 * _LANE
+
+    def do_retrace(_):
+        idx, count = _compact_indices(unproven, cap)
+        sel_live = jnp.arange(cap, dtype=jnp.int32) < count
+        t2 = jnp.where(sel_live, t_max_b[idx], -1.0)
+        occ2, unp2 = _anyhit_pass(
+            clusters, origins[idx], dirs[idx], t2, rows2,
+            m_budget * retrace_factor, t_min, interpret,
+            sc_budget * retrace_factor)
+        hit2 = (occ2 & sel_live).astype(jnp.int32)
+        merged = occluded | (jnp.zeros((r,), jnp.int32)
+                             .at[idx].add(hit2, mode="drop") > 0)
+        residual = jnp.sum(unproven, dtype=jnp.int32) - count \
+            + jnp.sum(unp2 & sel_live, dtype=jnp.int32)
+        return merged, residual
+
+    def skip(_):
+        return occluded, jnp.int32(0)
+
+    return jax.lax.cond(jnp.any(unproven), do_retrace, skip, None)
+
+
+def _closest_pass(clusters: Clusters, origins, dirs, t_max,
+                  chunk_rows: int, m_budget: int,
+                  t_min: float, interpret: bool, sc_budget: int):
+    """One closest-hit pass. t_max: (R,) with -1 marking dead rays (the
+    re-trace pass deadens already-proven rays this way). Returns
+    (prim uint32 (R,), t (R,), unproven bool (R,)): unproven marks live
+    rays whose best t exceeds the chunk's first-dropped-cluster entry
+    bound — only those could be wrong when budgets overflow
+    (front-to-back selection makes near hits provably exact)."""
+    origins = jnp.broadcast_to(origins, dirs.shape)
     chunk = chunk_rows * _LANE
     m = min(m_budget, clusters.cluster_count)
     c = clusters.cluster_size
@@ -540,11 +625,339 @@ def trace_closest_fused(clusters: Clusters, origins, dirs,
     t_out, prim_out = _sliced_call(call_one, nc, m, chunk_rows,
                                    ids, valid, rays)
     t_flat = t_out.reshape(-1)[:nc * chunk]
-    live = jnp.arange(nc * chunk) < r
-    uncertain = jnp.sum(live & (t_flat > jnp.repeat(t_bound, chunk)),
-                        dtype=jnp.int32)
+    tmax_flat = rays.reshape(7, -1)[6]
+    live = (jnp.arange(nc * chunk) < r) & (tmax_flat >= 0.0)
+    bound = jnp.where(live, t_bound.reshape(-1), jnp.inf)
+    unproven = live & (t_flat > bound)
     t_out = t_flat[:r]
     prim_out = prim_out.reshape(-1)[:r]
     prim_out = jnp.where(jnp.isfinite(t_out), prim_out.astype(jnp.uint32),
                          INVALID)
-    return prim_out, t_out, uncertain
+    # cull artifacts let the attribute-fetch pass reuse this pass's
+    # chunking/union instead of re-culling.
+    cull = (ids, valid, rays, nc)
+    return prim_out, t_out, unproven[:r], bound[:r], cull
+
+
+def trace_closest_fused(clusters: Clusters, origins, dirs,
+                        chunk_rows: int = 16, m_budget: int = 48,
+                        t_min: float = 1.0e-3, interpret: bool = False,
+                        sc_budget: int = 32,
+                        retrace_factor: int = _RETRACE_BUDGET_SCALE):
+    """Closest hit. Returns (prim uint32 (R,), t (R,), uncertain ()).
+
+    Exactness re-trace: rays whose pass-1 best t exceeds the first-
+    dropped-cluster bound are compacted and re-traced with smaller chunks
+    (tighter unions) and `retrace_factor`x budgets, under lax.cond so
+    exact frames pay nothing. Results merge by min t (every reported hit
+    is a real intersection, so min is the strictly better of the two
+    passes); `uncertain` counts rays still beyond the re-trace bound."""
+    origins = jnp.broadcast_to(origins, dirs.shape)
+    t_live = jnp.full(dirs.shape[:1], jnp.inf, jnp.float32)
+    prim1, t1, unp1, _, _ = _closest_pass(clusters, origins, dirs, t_live,
+                                          chunk_rows, m_budget, t_min,
+                                          interpret, sc_budget)
+    if retrace_factor <= 1:
+        return prim1, t1, jnp.sum(unp1, dtype=jnp.int32)
+    r = dirs.shape[0]
+    # Mosaic needs the ray-block sublane dim divisible by 8; tiny chunks
+    # (interpret-mode tests) are exempt because the block equals the array.
+    rows2 = chunk_rows if chunk_rows <= 8 \
+        else max(8, chunk_rows // _RETRACE_CHUNK_DIV)
+    # Full coverage for small batches; 1/_RETRACE_CAPACITY_DIV of the
+    # megabatch beyond 64k rays (measured unproven fractions are ~5%, so
+    # 12.5% capacity has slack; truncation shows up in the counter).
+    want = max(r // _RETRACE_CAPACITY_DIV, min(r, 64 * 1024))
+    cap = -(-want // (rows2 * _LANE)) * rows2 * _LANE
+
+    def do_retrace(_):
+        idx, count = _compact_indices(unp1, cap)
+        sel_live = jnp.arange(cap, dtype=jnp.int32) < count
+        t2_max = jnp.where(sel_live, jnp.inf, -1.0)
+        prim2, t2, _, bound2, _ = _closest_pass(
+            clusters, origins[idx], dirs[idx], t2_max, rows2,
+            m_budget * retrace_factor, t_min, interpret,
+            sc_budget * retrace_factor)
+        t1_sel = t1[idx]
+        better = sel_live & (t2 < t1_sel)
+        t_sel = jnp.where(better, t2, t1_sel)
+        prim_sel = jnp.where(better, prim2, prim1[idx])
+        # Padding slots (idx 0) must not alias a genuinely selected ray 0:
+        # scatter them out of bounds, where mode="drop" discards them.
+        scatter_idx = jnp.where(sel_live, idx, jnp.int32(r))
+        t = t1.at[scatter_idx].set(t_sel, mode="drop")
+        prim = prim1.at[scatter_idx].set(prim_sel, mode="drop")
+        # A ray is proven once its merged best t is at or below the
+        # re-trace pass's first-dropped-cluster bound; capacity-truncated
+        # rays stay unproven.
+        residual = jnp.sum(unp1, dtype=jnp.int32) - count \
+            + jnp.sum(sel_live & (t_sel > bound2), dtype=jnp.int32)
+        return prim, t, residual
+
+    def skip(_):
+        return prim1, t1, jnp.int32(0)
+
+    return jax.lax.cond(jnp.any(unp1), do_retrace, skip, None)
+
+# ---------------------------------------------------------------------------
+# Deferred attribute fetch (the preamble killer)
+# ---------------------------------------------------------------------------
+# Output plane layout of the attribute pass: everything get_shading_data
+# (render/shading.py, mirroring shading_pass.frag.glsl:738-812) derives
+# from the hit triangle's vertex data, computed in-kernel from per-cluster
+# DMA rows instead of a per-pixel shading_rows gather (~37 ms / 518k rows
+# on v5e) followed by HBM-bound vmapped math.
+ATTR_NORMAL = 0      # 3: interpolated shading normal (normalized)
+ATTR_UV = 3          # 2: interpolated texture coordinate
+ATTR_DUVDX = 5       # 2: d(uv)/d(pixel_x)
+ATTR_DUVDY = 7       # 2: d(uv)/d(pixel_y)
+ATTR_TANGENT = 9     # 3: unnormalized tangent (from UV edges)
+ATTR_BITANGENT = 12  # 3
+ATTR_MTL = 15        # 1: mean tangent length
+ATTR_MATERIAL = 16   # 1: material index (exact float)
+ATTR_FOUND = 17      # 1: 1.0 when the ray's primitive was covered
+ATTR_PLANES = 18
+# Accumulator layout: v0(3) e1(3) e2(3) n0(3) n1(3) n2(3) uv0(2) uv1(2)
+# uv2(2) material(1) found(1).
+_ACC_PLANES = 26
+
+
+def _padded_attr_table(clusters: Clusters):
+    k, w16 = clusters.attrs.shape
+    w = -(-w16 // _LANE) * _LANE
+    tab = clusters.attrs
+    if w != w16:
+        tab = jnp.concatenate(
+            [tab, jnp.zeros((k, w - w16), tab.dtype)], axis=1)
+    return tab.reshape(k, 1, w)
+
+
+def _cross_planes(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def _dot_planes(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _attr_pass(clusters: Clusters, ids, valid, rays8, nc: int,
+               chunk_rows: int, m: int, ray_d_derivs, interpret: bool):
+    """Attribute fetch over the SAME (chunk, m) grid and cull output as the
+    closest-hit pass. rays8: the trace's ray planes + plane 7 holding each
+    ray's best primitive id as float (-1 for miss). ray_d_derivs: (2, 3)
+    d(ray_direction)/d(pixel_{x,y}) rows. Returns (NR*chunk, ATTR_PLANES).
+
+    Per (chunk, cluster) step the kernel selects the 25 triangle scalars of
+    each ray's best hit into a VMEM accumulator (cheap where-loop); at the
+    chunk's last step it runs the full re-intersection / interpolation /
+    tangent-frame math ONCE per ray (shading_pass.frag.glsl:738-812) and
+    writes the attribute planes."""
+    c = clusters.cluster_size
+    tab, _ = _padded_tables(clusters)
+    atab = _padded_attr_table(clusters)
+    dcam = jnp.asarray(ray_d_derivs, jnp.float32).reshape(2, 3)
+
+    def kernel(ids_ref, valid_ref, rays_ref, dcam_ref, tab_ref, attr_ref,
+               out_ref, acc_ref):
+        i = pl.program_id(0)
+        mm = pl.program_id(1)
+
+        @pl.when(mm == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        prim = rays_ref[7]
+        cid = ids_ref[i * m + mm]
+        base = (cid * c).astype(jnp.float32)
+        sel_any = (prim >= base) & (prim < base + c)
+        is_valid = valid_ref[i * m + mm] > 0
+
+        @pl.when(is_valid & jnp.any(sel_any))
+        def _():
+            vals = [acc_ref[j] for j in range(_ACC_PLANES)]
+            for t in range(c):
+                s = prim == base + np.float32(t)
+                sc = _tri_scalars(tab_ref, t, c) \
+                    + [attr_ref[0, 0, kk * c + t] for kk in range(16)]
+                sc.append(np.float32(1.0))  # found
+                vals = [jnp.where(s, scv, v) for scv, v in zip(sc, vals)]
+            acc_ref[...] = jnp.stack(vals)
+
+        @pl.when(mm == m - 1)
+        def _():
+            a = acc_ref[...]
+            v0 = (a[0], a[1], a[2])
+            e1 = (a[3], a[4], a[5])
+            e2 = (a[6], a[7], a[8])
+            n0 = (a[9], a[10], a[11])
+            n1 = (a[12], a[13], a[14])
+            n2 = (a[15], a[16], a[17])
+            uv0 = (a[18], a[19])
+            uv1 = (a[20], a[21])
+            uv2 = (a[22], a[23])
+            mat = a[24]
+            found = a[25]
+            o = (rays_ref[0], rays_ref[1], rays_ref[2])
+            d = (rays_ref[3], rays_ref[4], rays_ref[5])
+
+            # Barycentrics + screen-space derivatives
+            # (ops/intersect.py ray_triangle_barycentrics, glsl:738-766).
+            rce1 = _cross_planes(d, e2)
+            det = _dot_planes(e1, rce1)
+            det_ok = jnp.abs(det) > 1e-30
+            rcp = 1.0 / jnp.where(det_ok, det, 1.0)
+            r0 = tuple(o[j] - v0[j] for j in range(3))
+            det0 = _dot_planes(r0, rce1)
+            b1 = rcp * det0
+            e0c0 = _cross_planes(e1, r0)
+            det1 = _dot_planes(d, e0c0)
+            b2 = -rcp * det1
+            b0 = 1.0 - (b1 + b2)
+            duv = []
+            for di in range(2):
+                dd = (dcam_ref[di, 0], dcam_ref[di, 1], dcam_ref[di, 2])
+                rce1d = (dd[1] * e2[2] - dd[2] * e2[1],
+                         dd[2] * e2[0] - dd[0] * e2[2],
+                         dd[0] * e2[1] - dd[1] * e2[0])
+                rcpd = -_dot_planes(e1, rce1d) * rcp * rcp
+                det0d = _dot_planes(r0, rce1d)
+                db1 = rcpd * det0 + rcp * det0d
+                det1d = dd[0] * e0c0[0] + dd[1] * e0c0[1] + dd[2] * e0c0[2]
+                db2 = -rcpd * det1 - rcp * det1d
+                db0 = -(db1 + db2)
+                duv.append((db0 * uv0[0] + db1 * uv1[0] + db2 * uv2[0],
+                            db0 * uv0[1] + db1 * uv1[1] + db2 * uv2[1]))
+
+            ni = tuple(b0 * n0[j] + b1 * n1[j] + b2 * n2[j]
+                       for j in range(3))
+            inv_len = jax.lax.rsqrt(jnp.maximum(_dot_planes(ni, ni), 1e-30))
+            ni = tuple(x * inv_len for x in ni)
+            uv = (b0 * uv0[0] + b1 * uv1[0] + b2 * uv2[0],
+                  b0 * uv0[1] + b1 * uv1[1] + b2 * uv2[1])
+            te0 = (uv1[0] - uv0[0], uv1[1] - uv0[1])
+            te1 = (uv2[0] - uv0[0], uv2[1] - uv0[1])
+            nxe0 = _cross_planes(ni, e1)
+            e1xn = _cross_planes(e2, ni)
+            tangent = tuple(e1xn[j] * te0[0] + nxe0[j] * te1[0]
+                            for j in range(3))
+            bitangent = tuple(e1xn[j] * te0[1] + nxe0[j] * te1[1]
+                              for j in range(3))
+            mtl = jnp.sqrt(0.5 * (_dot_planes(tangent, tangent)
+                                  + _dot_planes(bitangent, bitangent)))
+
+            planes = list(ni) + [uv[0], uv[1], duv[0][0], duv[0][1],
+                                 duv[1][0], duv[1][1]] \
+                + list(tangent) + list(bitangent) + [mtl, mat, found]
+            ok = (found > 0.5) & det_ok
+            out_ref[...] = jnp.stack(
+                [jnp.where(ok, p, 0.0) for p in planes[:-1]]
+                + [jnp.where(ok, 1.0, 0.0)])
+
+    def call_one(ids_s, valid_s, rays_s, nc_s):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nc_s, m),
+            in_specs=[
+                pl.BlockSpec((8, chunk_rows, _LANE),
+                             lambda i, mm, ids, valid: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 3),
+                             lambda i, mm, ids, valid: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1, tab.shape[2]),
+                             lambda i, mm, ids, valid:
+                             (ids[i * m + mm], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, atab.shape[2]),
+                             lambda i, mm, ids, valid:
+                             (ids[i * m + mm], 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((ATTR_PLANES, chunk_rows, _LANE),
+                                   lambda i, mm, ids, valid: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((_ACC_PLANES, chunk_rows, _LANE), jnp.float32)],
+        )
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(
+                (ATTR_PLANES, nc_s * chunk_rows, _LANE), jnp.float32),
+            grid_spec=grid_spec,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(ids_s, valid_s, rays_s, dcam, tab, atab)
+        # Rows leading so _sliced_call can concatenate chunk slices.
+        return out.transpose(1, 0, 2)
+
+    out = _sliced_call(call_one, nc, m, chunk_rows, ids, valid, rays8)
+    return out.transpose(0, 2, 1).reshape(-1, ATTR_PLANES)
+
+
+def trace_closest_attrs(clusters: Clusters, origins, dirs, ray_d_derivs,
+                        chunk_rows: int = 16, m_budget: int = 48,
+                        t_min: float = 1.0e-3, interpret: bool = False,
+                        sc_budget: int = 32,
+                        retrace_factor: int = _RETRACE_BUDGET_SCALE):
+    """Closest hit + deferred attribute fetch + exactness re-trace.
+
+    Returns (prim uint32 (R,), t (R,), uncertain (), attrs
+    (R, ATTR_PLANES), stale bool (R,)). attrs are computed from the FIRST
+    pass's hits; `stale` marks rays whose re-traced primitive differs
+    (their attrs must be recomputed by the caller from shading_rows — a
+    tiny compacted gather, the re-trace touches ~1e-3 of rays)."""
+    origins = jnp.broadcast_to(origins, dirs.shape)
+    r = dirs.shape[0]
+    t_live = jnp.full((r,), jnp.inf, jnp.float32)
+    prim1, t1, unp1, _, cull = _closest_pass(
+        clusters, origins, dirs, t_live, chunk_rows, m_budget, t_min,
+        interpret, sc_budget)
+    ids, valid, rays, nc = cull
+    m = min(m_budget, clusters.cluster_count)
+    chunk = chunk_rows * _LANE
+    prim_f = jnp.where(prim1 == INVALID, -1.0, prim1.astype(jnp.float32))
+    pad = nc * chunk - r
+    if pad:
+        prim_f = jnp.concatenate([prim_f, jnp.full((pad,), -1.0)])
+    rays8 = jnp.concatenate(
+        [rays, prim_f.reshape(1, -1, _LANE)], axis=0)
+    attrs = _attr_pass(clusters, ids, valid, rays8, nc, chunk_rows, m,
+                       ray_d_derivs, interpret)[:r]
+
+    no_stale = jnp.zeros((r,), bool)
+    if retrace_factor <= 1:
+        return prim1, t1, jnp.sum(unp1, dtype=jnp.int32), attrs, no_stale
+    rows2 = chunk_rows if chunk_rows <= 8 \
+        else max(8, chunk_rows // _RETRACE_CHUNK_DIV)
+    want = max(r // _RETRACE_CAPACITY_DIV, min(r, 64 * 1024))
+    cap = -(-want // (rows2 * _LANE)) * rows2 * _LANE
+
+    def do_retrace(_):
+        idx, count = _compact_indices(unp1, cap)
+        sel_live = jnp.arange(cap, dtype=jnp.int32) < count
+        t2_max = jnp.where(sel_live, jnp.inf, -1.0)
+        prim2, t2, _, bound2, _ = _closest_pass(
+            clusters, origins[idx], dirs[idx], t2_max, rows2,
+            m_budget * retrace_factor, t_min, interpret,
+            sc_budget * retrace_factor)
+        t1_sel = t1[idx]
+        better = sel_live & (t2 < t1_sel)
+        t_sel = jnp.where(better, t2, t1_sel)
+        prim_sel = jnp.where(better, prim2, prim1[idx])
+        scatter_idx = jnp.where(sel_live, idx, jnp.int32(r))
+        t = t1.at[scatter_idx].set(t_sel, mode="drop")
+        prim = prim1.at[scatter_idx].set(prim_sel, mode="drop")
+        stale = no_stale.at[scatter_idx].set(better, mode="drop")
+        residual = jnp.sum(unp1, dtype=jnp.int32) - count \
+            + jnp.sum(sel_live & (t_sel > bound2), dtype=jnp.int32)
+        return prim, t, residual, stale
+
+    def skip(_):
+        return prim1, t1, jnp.int32(0), no_stale
+
+    prim, t, residual, stale = jax.lax.cond(jnp.any(unp1), do_retrace,
+                                            skip, None)
+    return prim, t, residual, attrs, stale

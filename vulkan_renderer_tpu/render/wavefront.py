@@ -54,6 +54,12 @@ class Clusters(NamedTuple):
     aabb_lo: jnp.ndarray  # (K, 3)
     aabb_hi: jnp.ndarray  # (K, 3)
     planes: jnp.ndarray   # (K, 9*C) triangle component planes (f32)
+    # Optional shading-attribute planes, same component-major layout:
+    # [n0.xyz n1.xyz n2.xyz uv0.xy uv1.xy uv2.xy material] = 16 components.
+    # Consumed by the deferred attribute-fetch kernel
+    # (trace_kernel.trace_closest_attrs), which replaces the per-pixel
+    # shading_rows gather (~37 ms / 518k rows) with per-cluster DMA.
+    attrs: jnp.ndarray | None = None
 
     @property
     def cluster_count(self) -> int:
@@ -65,9 +71,14 @@ class Clusters(NamedTuple):
 
 
 def build_clusters(triangle_positions: np.ndarray,
-                   cluster_size: int = 64) -> Clusters:
+                   cluster_size: int = 64,
+                   triangle_normals: np.ndarray | None = None,
+                   triangle_tex_coords: np.ndarray | None = None,
+                   material_indices: np.ndarray | None = None) -> Clusters:
     """triangle_positions: (T, 3, 3), Morton-ordered. Padding triangles are
-    degenerate (never hit)."""
+    degenerate (never hit). When normals/uvs/materials are given, the
+    16-component attrs table for the deferred attribute-fetch kernel is
+    built alongside."""
     tris = np.asarray(triangle_positions, np.float32)
     t_count = tris.shape[0]
     k = max(1, -(-t_count // cluster_size))
@@ -89,8 +100,27 @@ def build_clusters(triangle_positions: np.ndarray,
         [v0[:, :, 0], v0[:, :, 1], v0[:, :, 2],
          e1[:, :, 0], e1[:, :, 1], e1[:, :, 2],
          e2[:, :, 0], e2[:, :, 1], e2[:, :, 2]], axis=1)
+    attrs = None
+    if triangle_normals is not None:
+        nrm = np.asarray(triangle_normals, np.float32)
+        uvs = np.asarray(triangle_tex_coords, np.float32)
+        mat = np.asarray(material_indices, np.float32)
+        if pad:
+            nrm = np.concatenate([nrm, np.zeros((pad, 3, 3), np.float32)])
+            uvs = np.concatenate([uvs, np.zeros((pad, 3, 2), np.float32)])
+            mat = np.concatenate([mat, np.zeros((pad,), np.float32)])
+        cols = []
+        for vtx in range(3):
+            for c in range(3):
+                cols.append(nrm[:, vtx, c].reshape(k, cluster_size))
+        for vtx in range(3):
+            for c in range(2):
+                cols.append(uvs[:, vtx, c].reshape(k, cluster_size))
+        cols.append(mat.reshape(k, cluster_size))
+        attrs = jnp.asarray(np.ascontiguousarray(
+            np.concatenate(cols, axis=1)))
     return Clusters(jnp.asarray(aabb_lo), jnp.asarray(aabb_hi),
-                    jnp.asarray(np.ascontiguousarray(planes)))
+                    jnp.asarray(np.ascontiguousarray(planes)), attrs)
 
 
 def _slab_mask(lo, hi, origins, dirs, t_max):
@@ -103,7 +133,11 @@ def _slab_mask(lo, hi, origins, dirs, t_max):
     t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
     t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
     t_cap = jnp.broadcast_to(jnp.asarray(t_max), origins.shape[:1])
-    mask = (t_near <= t_far) & (t_far >= 0.0) & (t_near <= t_cap[:, None])
+    # t_cap < 0 marks dead rays (padding / already-proven rays in a
+    # re-trace pass): they must never mark a cluster, even when their
+    # origin sits deep inside its AABB (where t_near can be <= -1).
+    mask = (t_near <= t_far) & (t_far >= 0.0) & (t_near <= t_cap[:, None]) \
+        & (t_cap[:, None] >= 0.0)
     return mask, t_near
 
 

@@ -43,7 +43,7 @@ class Scene(NamedTuple):
     # contiguous 96-byte gather per pixel replaces four separate row
     # gathers in get_shading_data — gathers on TPU pay per ROW, so
     # merging rows is a direct 4x cut of the dominant preamble cost.
-    shading_rows: jnp.ndarray         # (T, 24) f32
+    shading_rows: jnp.ndarray         # (T, 25) f32 (geometry + material idx)
     # Textures: one packed 8-channel texture per material
     # [base.rgb, specular.rgb, normal.xy]; index = material index.
     material_atlas: TextureAtlas
@@ -161,11 +161,19 @@ def build_scene(mesh: SceneMesh, texture_dir: str,
     # the production path uses clusters. Building both for every scene
     # was pure load-time + HBM waste at 1M triangles (VERDICT r2 weak #6).
     bvh = build_bvh(positions) if with_bvh else None
-    clusters = build_clusters(positions)
+    clusters = build_clusters(positions, triangle_normals=normals,
+                              triangle_tex_coords=tex_coords,
+                              material_indices=mesh.material_indices)
 
+    # Column 24 carries the material index: gathers cost per ROW on TPU
+    # (~37 ms / 518k rows regardless of width, CLAUDE.md), so fetching it
+    # with the geometry is free while a separate material_indices gather
+    # was a full extra round.
     shading_rows = np.concatenate(
         [positions.reshape(-1, 9), normals.reshape(-1, 9),
-         tex_coords.reshape(-1, 6)], axis=1).astype(np.float32)
+         tex_coords.reshape(-1, 6),
+         mesh.material_indices.astype(np.float32)[:, None]],
+        axis=1).astype(np.float32)
     return Scene(
         triangle_positions=jnp.asarray(positions),
         triangle_normals=jnp.asarray(normals),
