@@ -33,12 +33,14 @@ def main():
                         help="rays per trace chunk / 128")
     parser.add_argument("--primary-budget", type=int, default=64)
     parser.add_argument("--shadow-budget", type=int, default=48)
+    parser.add_argument("--cluster-size", type=int, default=64,
+                        help="triangles per traversal cluster")
     parser.add_argument("--retrace-factor", type=int, default=2,
                         help="exactness re-trace budget multiplier "
                              "(1 disables the second pass)")
     parser.add_argument("--stop-after", default=None,
                         choices=["rays", "trace", "noise", "preamble",
-                                 "shade", "shadow"],
+                                 "shade", "shadowrays", "shadow"],
                         help="in-frame stage profiling: truncate the frame "
                              "after this stage (run one stage per process; "
                              "the axon platform wedges on multiple large "
@@ -76,7 +78,7 @@ def main():
             scaling_x=1.5, scaling_y=1.5,
             radiant_flux=np.array([400.0, 380.0, 340.0], np.float32)))
     scene = load_scene(vks, os.path.join("data", f"{stem}_textures"),
-                       lights)
+                       lights, cluster_size=args.cluster_size)
     static = SceneStatic(light_count=len(lights),
                          light_texturing=tuple(0 for _ in lights),
                          light_vertex_counts=tuple(

@@ -634,7 +634,8 @@ def fused_light_shading(data, ltc, hit, noise_pairs, light_scalars,
         out_specs=pl.BlockSpec((nout, tile_rows, lane), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel",)),
         interpret=interpret,
     )(planes, light_scalars, mis_arr)
 
@@ -742,7 +743,8 @@ def fused_light_shading_resolved(data, ltc, hit, noise_pairs, light_scalars,
         out_specs=pl.BlockSpec((3, tile_rows, lane), lambda i, li: (0, i, 0),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(planes, noise, light_scalars, mis_arr)
 

@@ -288,11 +288,13 @@ def _render_frame_body(scene, static, settings, constants, width, height,
         ys = ys + jnp.asarray(row_offset, jnp.float32)
     px, py = jnp.meshgrid(xs, ys, indexing="xy")
     pixels_f = jnp.stack([px, py], axis=-1).reshape(-1, 2)
-    if use_pallas_trace:
-        # The WHOLE frame runs in Morton pixel order: each trace chunk is
-        # then a compact ~64x32 pixel tile instead of a 2-row scan strip
-        # (far tighter per-chunk cluster unions), and the only reorder
-        # cost is one final gather of the colors — no per-stage permutes.
+    # The WHOLE frame runs in Morton pixel order: each trace chunk is
+    # then a compact pixel tile instead of a row scan strip (far tighter
+    # per-chunk cluster unions — this holds for the XLA wavefront tracer's
+    # 16384-ray chunks just as for the Pallas chunks), and the only
+    # reorder cost is one final gather of the colors.
+    morton_order = use_pallas_trace or traversal == "wavefront"
+    if morton_order:
         from .trace_kernel import morton_pixel_permutation
         perm_np, inv_np = morton_pixel_permutation(width, height)
         pixels_f = pixels_f[jnp.asarray(perm_np)]
@@ -365,7 +367,7 @@ def _render_frame_body(scene, static, settings, constants, width, height,
     total_pairs = max(ppl * static.light_count
                       + linear_pairs_per_light(settings)
                       * static.linear_light_count, 1)
-    if use_pallas_trace:
+    if morton_order:
         # Image-form fetch: the scrambled offsets/layer are per-frame
         # scalars, so the noise is a dense roll+tile of the table plus the
         # frame's ONE Morton reorder gather — replaces fetch_count
@@ -453,6 +455,9 @@ def _render_frame_body(scene, static, settings, constants, width, height,
         live = jnp.any(b.transpose(1, 0, 2).reshape(-1, 3) != 0.0,
                        axis=-1)
         flat_tmax = jnp.where(live, flat_tmax, -1.0)
+        if stop_after == "shadowrays":
+            return _stage_stub(width, height, with_stats, base, b,
+                               flat_origins, flat_dirs, flat_tmax)
         if use_pallas_trace:
             occluded, shadow_overflow = trace_anyhit_fused(
                 scene.clusters, flat_origins, flat_dirs, flat_tmax,
@@ -483,7 +488,7 @@ def _render_frame_body(scene, static, settings, constants, width, height,
                        constants.exposure_factor, colors)
     colors = colors * constants.exposure_factor
     colors = _postprocess(colors, settings)
-    if use_pallas_trace:
+    if morton_order:
         colors = colors[inv_perm]  # Morton order -> row-major image
     image = colors.reshape(height, width, 3)
     if with_stats:

@@ -424,7 +424,8 @@ def _anyhit_pass(clusters: Clusters, origins, dirs, t_max,
                                            jnp.float32),
             grid_spec=grid_spec,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("parallel", "arbitrary")),
             interpret=interpret,
         )(ids_s, valid_s, rays_s, tab, aabb)
 
@@ -439,15 +440,17 @@ def _anyhit_pass(clusters: Clusters, origins, dirs, t_max,
     return occluded[:r], unproven[:r]
 
 
-# Re-trace pass geometry: unproven rays are compacted (fixed capacity =
-# ray_count // _RETRACE_CAPACITY_DIV, in original Morton order so spatial
-# coherence survives) and re-traced in chunks _RETRACE_CHUNK_DIV x smaller
-# with _RETRACE_BUDGET_SCALE x budgets. Smaller ray bundles have far
-# tighter cluster unions, which is where first-pass overflow comes from;
-# scaling only the budgets instead costs quadratically in the rank-select
-# pool (measured 3x frame time at the flagship config) and still leaves
-# residuals.
-_RETRACE_CAPACITY_DIV = 8
+# Re-trace pass geometry: the re-trace gathers WHOLE first-pass chunks
+# (the nc // _RETRACE_CHUNK_FRACTION chunks with the most unproven rays,
+# proven rays deadened in place via t_max = -1) and re-traces them split
+# into _RETRACE_CHUNK_DIV x smaller sub-chunks with _RETRACE_BUDGET_SCALE x
+# budgets. Chunk-granular gathering preserves the spatial coherence the
+# union cull depends on — compacting unproven RAYS instead packs rays from
+# different tiles/lights into one chunk and its union is WORSE than pass
+# 1's (measured: residuals barely moved). Scaling only the budgets without
+# shrinking chunks costs quadratically in the rank-select pool (measured
+# 3x frame time at the flagship config).
+_RETRACE_CHUNK_FRACTION = 4
 _RETRACE_CHUNK_DIV = 4
 _RETRACE_BUDGET_SCALE = 2
 
@@ -463,6 +466,27 @@ def _compact_indices(mask, capacity: int):
     count = jnp.minimum(jnp.sum(mask, dtype=jnp.int32),
                         jnp.int32(capacity))
     return idx, count
+
+
+def _retrace_chunk_gather(unproven, r: int, chunk: int):
+    """Pick the chunks with the most unproven rays (fixed count =
+    ceil(nc / _RETRACE_CHUNK_FRACTION)) and return their rays' indices in
+    chunk-preserving order.
+
+    Returns (ray_idx (nc2*chunk,) i32 clamped to [0, r-1], sel_unproven
+    bool same shape, covered () = unproven rays inside selected chunks)."""
+    nc = -(-r // chunk)
+    pad = nc * chunk - r
+    unp_p = jnp.concatenate(
+        [unproven, jnp.zeros((pad,), bool)]) if pad else unproven
+    counts = jnp.sum(unp_p.reshape(nc, chunk), axis=1, dtype=jnp.int32)
+    nc2 = max(1, -(-nc // _RETRACE_CHUNK_FRACTION))
+    vals, cids = jax.lax.top_k(counts, min(nc2, nc))
+    ray_idx = (cids[:, None] * chunk
+               + jnp.arange(chunk, dtype=jnp.int32)[None, :]).reshape(-1)
+    sel_unp = unp_p[ray_idx]
+    ray_idx = jnp.minimum(ray_idx, r - 1)  # padded tail rays (sel_unp=False)
+    return ray_idx, sel_unp, jnp.sum(vals, dtype=jnp.int32)
 
 
 def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
@@ -486,29 +510,24 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
         return occluded, jnp.sum(unproven, dtype=jnp.int32)
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max), dirs.shape[:1])
     r = dirs.shape[0]
+    chunk = chunk_rows * _LANE
     # Mosaic needs the ray-block sublane dim divisible by 8; tiny chunks
     # (interpret-mode tests) are exempt because the block equals the array.
     rows2 = chunk_rows if chunk_rows <= 8 \
         else max(8, chunk_rows // _RETRACE_CHUNK_DIV)
-    # Full coverage for small batches; 1/_RETRACE_CAPACITY_DIV of the
-    # megabatch beyond 64k rays (measured unproven fractions are ~5%, so
-    # 12.5% capacity has slack; truncation shows up in the counter).
-    want = max(r // _RETRACE_CAPACITY_DIV, min(r, 64 * 1024))
-    cap = -(-want // (rows2 * _LANE)) * rows2 * _LANE
 
     def do_retrace(_):
-        idx, count = _compact_indices(unproven, cap)
-        sel_live = jnp.arange(cap, dtype=jnp.int32) < count
-        t2 = jnp.where(sel_live, t_max_b[idx], -1.0)
+        idx, sel_unp, covered = _retrace_chunk_gather(unproven, r, chunk)
+        t2 = jnp.where(sel_unp, t_max_b[idx], -1.0)
         occ2, unp2 = _anyhit_pass(
             clusters, origins[idx], dirs[idx], t2, rows2,
             m_budget * retrace_factor, t_min, interpret,
             sc_budget * retrace_factor)
-        hit2 = (occ2 & sel_live).astype(jnp.int32)
+        hit2 = (occ2 & sel_unp).astype(jnp.int32)
         merged = occluded | (jnp.zeros((r,), jnp.int32)
                              .at[idx].add(hit2, mode="drop") > 0)
-        residual = jnp.sum(unproven, dtype=jnp.int32) - count \
-            + jnp.sum(unp2 & sel_live, dtype=jnp.int32)
+        residual = jnp.sum(unproven, dtype=jnp.int32) - covered \
+            + jnp.sum(unp2 & sel_unp, dtype=jnp.int32)
         return merged, residual
 
     def skip(_):
@@ -618,7 +637,8 @@ def _closest_pass(clusters: Clusters, origins, dirs, t_max,
                                             jnp.int32)],
             grid_spec=grid_spec,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("parallel", "arbitrary")),
             interpret=interpret,
         )(ids_s, valid_s, rays_s, tab, aabb)
 
@@ -660,38 +680,33 @@ def trace_closest_fused(clusters: Clusters, origins, dirs,
     if retrace_factor <= 1:
         return prim1, t1, jnp.sum(unp1, dtype=jnp.int32)
     r = dirs.shape[0]
+    chunk = chunk_rows * _LANE
     # Mosaic needs the ray-block sublane dim divisible by 8; tiny chunks
     # (interpret-mode tests) are exempt because the block equals the array.
     rows2 = chunk_rows if chunk_rows <= 8 \
         else max(8, chunk_rows // _RETRACE_CHUNK_DIV)
-    # Full coverage for small batches; 1/_RETRACE_CAPACITY_DIV of the
-    # megabatch beyond 64k rays (measured unproven fractions are ~5%, so
-    # 12.5% capacity has slack; truncation shows up in the counter).
-    want = max(r // _RETRACE_CAPACITY_DIV, min(r, 64 * 1024))
-    cap = -(-want // (rows2 * _LANE)) * rows2 * _LANE
 
     def do_retrace(_):
-        idx, count = _compact_indices(unp1, cap)
-        sel_live = jnp.arange(cap, dtype=jnp.int32) < count
-        t2_max = jnp.where(sel_live, jnp.inf, -1.0)
+        idx, sel_unp, covered = _retrace_chunk_gather(unp1, r, chunk)
+        t2_max = jnp.where(sel_unp, jnp.inf, -1.0)
         prim2, t2, _, bound2, _ = _closest_pass(
             clusters, origins[idx], dirs[idx], t2_max, rows2,
             m_budget * retrace_factor, t_min, interpret,
             sc_budget * retrace_factor)
         t1_sel = t1[idx]
-        better = sel_live & (t2 < t1_sel)
+        better = sel_unp & (t2 < t1_sel)
         t_sel = jnp.where(better, t2, t1_sel)
         prim_sel = jnp.where(better, prim2, prim1[idx])
-        # Padding slots (idx 0) must not alias a genuinely selected ray 0:
-        # scatter them out of bounds, where mode="drop" discards them.
-        scatter_idx = jnp.where(sel_live, idx, jnp.int32(r))
+        # Rays that were not selected for pass 2 (dead padding / proven)
+        # must not scatter: route them out of bounds, mode="drop".
+        scatter_idx = jnp.where(sel_unp, idx, jnp.int32(r))
         t = t1.at[scatter_idx].set(t_sel, mode="drop")
         prim = prim1.at[scatter_idx].set(prim_sel, mode="drop")
         # A ray is proven once its merged best t is at or below the
-        # re-trace pass's first-dropped-cluster bound; capacity-truncated
-        # rays stay unproven.
-        residual = jnp.sum(unp1, dtype=jnp.int32) - count \
-            + jnp.sum(sel_live & (t_sel > bound2), dtype=jnp.int32)
+        # re-trace pass's first-dropped-cluster bound; rays in unselected
+        # chunks stay unproven.
+        residual = jnp.sum(unp1, dtype=jnp.int32) - covered \
+            + jnp.sum(sel_unp & (t_sel > bound2), dtype=jnp.int32)
         return prim, t, residual
 
     def skip(_):
@@ -887,7 +902,8 @@ def _attr_pass(clusters: Clusters, ids, valid, rays8, nc: int,
                 (ATTR_PLANES, nc_s * chunk_rows, _LANE), jnp.float32),
             grid_spec=grid_spec,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("parallel", "arbitrary")),
             interpret=interpret,
         )(ids_s, valid_s, rays_s, dcam, tab, atab)
         # Rows leading so _sliced_call can concatenate chunk slices.
@@ -932,27 +948,24 @@ def trace_closest_attrs(clusters: Clusters, origins, dirs, ray_d_derivs,
         return prim1, t1, jnp.sum(unp1, dtype=jnp.int32), attrs, no_stale
     rows2 = chunk_rows if chunk_rows <= 8 \
         else max(8, chunk_rows // _RETRACE_CHUNK_DIV)
-    want = max(r // _RETRACE_CAPACITY_DIV, min(r, 64 * 1024))
-    cap = -(-want // (rows2 * _LANE)) * rows2 * _LANE
 
     def do_retrace(_):
-        idx, count = _compact_indices(unp1, cap)
-        sel_live = jnp.arange(cap, dtype=jnp.int32) < count
-        t2_max = jnp.where(sel_live, jnp.inf, -1.0)
+        idx, sel_unp, covered = _retrace_chunk_gather(unp1, r, chunk)
+        t2_max = jnp.where(sel_unp, jnp.inf, -1.0)
         prim2, t2, _, bound2, _ = _closest_pass(
             clusters, origins[idx], dirs[idx], t2_max, rows2,
             m_budget * retrace_factor, t_min, interpret,
             sc_budget * retrace_factor)
         t1_sel = t1[idx]
-        better = sel_live & (t2 < t1_sel)
+        better = sel_unp & (t2 < t1_sel)
         t_sel = jnp.where(better, t2, t1_sel)
         prim_sel = jnp.where(better, prim2, prim1[idx])
-        scatter_idx = jnp.where(sel_live, idx, jnp.int32(r))
+        scatter_idx = jnp.where(sel_unp, idx, jnp.int32(r))
         t = t1.at[scatter_idx].set(t_sel, mode="drop")
         prim = prim1.at[scatter_idx].set(prim_sel, mode="drop")
         stale = no_stale.at[scatter_idx].set(better, mode="drop")
-        residual = jnp.sum(unp1, dtype=jnp.int32) - count \
-            + jnp.sum(sel_live & (t_sel > bound2), dtype=jnp.int32)
+        residual = jnp.sum(unp1, dtype=jnp.int32) - covered \
+            + jnp.sum(sel_unp & (t_sel > bound2), dtype=jnp.int32)
         return prim, t, residual, stale
 
     def skip(_):

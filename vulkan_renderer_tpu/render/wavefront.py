@@ -255,7 +255,7 @@ def _pair_intersect(planes_m, cluster_size: int, o, d,
 
 
 def trace_closest(clusters: Clusters, origins, dirs, pairs_per_ray: int = 16,
-                  t_min: float = 1.0e-3, chunk_cluster_budget: int = 128):
+                  t_min: float = 1.0e-3, chunk_cluster_budget: int = 384):
     """Closest hit for R rays. origins: (R,3) or (3,); dirs: (R,3).
 
     Returns (prim uint32 (R,), t (R,), overflow ()) — overflow counts
@@ -308,7 +308,7 @@ def trace_closest(clusters: Clusters, origins, dirs, pairs_per_ray: int = 16,
 
 def trace_anyhit(clusters: Clusters, origins, dirs, t_max,
                  pairs_per_ray: int = 8, t_min: float = 1.0e-3,
-                 chunk_cluster_budget: int = 128):
+                 chunk_cluster_budget: int = 384):
     """Any-hit (shadow) test for R rays with per-ray t ranges.
 
     Returns (occluded bool (R,), overflow ())."""

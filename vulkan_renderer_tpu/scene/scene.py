@@ -134,7 +134,7 @@ def build_scene(mesh: SceneMesh, texture_dir: str,
                 noise_type: NoiseType = NoiseType.AHMED,
                 data_directory: str = "data",
                 linear_light_specs: list[LinearLightSpec] | None = None,
-                with_bvh: bool = False) -> Scene:
+                with_bvh: bool = False, cluster_size: int = 64) -> Scene:
     positions = mesh.dequantized_positions().reshape(-1, 3, 3)
     normals = mesh.decoded_normals().reshape(-1, 3, 3)
     tex_coords = mesh.decoded_tex_coords().reshape(-1, 3, 2)
@@ -161,7 +161,8 @@ def build_scene(mesh: SceneMesh, texture_dir: str,
     # the production path uses clusters. Building both for every scene
     # was pure load-time + HBM waste at 1M triangles (VERDICT r2 weak #6).
     bvh = build_bvh(positions) if with_bvh else None
-    clusters = build_clusters(positions, triangle_normals=normals,
+    clusters = build_clusters(positions, cluster_size=cluster_size,
+                              triangle_normals=normals,
                               triangle_tex_coords=tex_coords,
                               material_indices=mesh.material_indices)
 
