@@ -61,6 +61,7 @@ def test_occlusion_matches_bruteforce(rng):
     assert (found == expect).all()
 
 
+@pytest.mark.slow
 def test_bvh_cornell_render_matches_bruteforce(rng):
     """Full-frame renders with forced traversal backends must agree."""
     import tempfile

@@ -180,6 +180,7 @@ def _reference_result(scene_like, static, settings, constants, data, ltc,
     (SamplingStrategy.DIFFUSE_SPECULAR_MIS, MisHeuristic.OPTIMAL_CLAMPED),
     (SamplingStrategy.DIFFUSE_SPECULAR_MIS, MisHeuristic.OPTIMAL),
 ])
+@pytest.mark.slow
 def test_fused_matches_reference(strategy, heuristic):
     rng = np.random.RandomState(11)
     specs = [
@@ -424,6 +425,7 @@ def test_fused_diffuse_techniques_match_reference(tech):
 
 @pytest.mark.parametrize("strategy", [SamplingStrategy.DIFFUSE_ONLY,
                                       SamplingStrategy.DIFFUSE_SPECULAR_MIS])
+@pytest.mark.slow
 def test_fused_resolved_matches_slots(strategy):
     """The resolved (no-shadow) light-grid kernel must equal base +
     sum(slots) of the slot-exporting kernel: with trace_shadow_rays=False

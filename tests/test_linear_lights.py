@@ -80,6 +80,7 @@ def test_line_integral_consistency(rng):
     assert e_r == pytest.approx(gt, rel=0.03)
 
 
+@pytest.mark.slow
 def test_linear_light_render(tmp_path):
     """End-to-end render with a linear light only: finite, lit, and the
     techniques agree."""
@@ -147,6 +148,7 @@ def test_linear_light_render(tmp_path):
     assert img_shadow.mean() <= img_lit.mean() + 1e-6
 
 
+@pytest.mark.slow
 def test_combined_strategy_adds_specular(tmp_path):
     from vulkan_renderer_tpu.core.settings import (PolygonSamplingTechnique,
                                                    RenderSettings,

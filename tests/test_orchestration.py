@@ -60,6 +60,7 @@ def app(tmp_path_factory):
                        data_directory=d)
 
 
+@pytest.mark.slow
 def test_application_renders(app):
     img = app.render_frame_sync()
     assert img.shape == (16, 16, 3)

@@ -47,6 +47,7 @@ def render(cornell, **kwargs):
                                    noise_random_numbers=RND))
 
 
+@pytest.mark.slow
 def test_diffuse_techniques_agree(cornell):
     """All unbiased diffuse-only techniques estimate the same image."""
     means = {}
@@ -98,6 +99,7 @@ def test_mis_heuristics_agree(cornell):
         assert m == pytest.approx(base, rel=0.08), (heuristic, m, base)
 
 
+@pytest.mark.slow
 def test_ggx_mis_strategy_runs(cornell):
     img = render(cornell, sampling_strategy=S.DIFFUSE_GGX_MIS,
                  polygon_sampling_technique=T.PROJECTED_SOLID_ANGLE,
@@ -107,6 +109,7 @@ def test_ggx_mis_strategy_runs(cornell):
     assert img.mean() > 0.0
 
 
+@pytest.mark.slow
 def test_no_nan_sentinel(cornell):
     """No pink pixels in a normal render (NaN guard, glsl:861-864)."""
     img = render(cornell, sampling_strategy=S.DIFFUSE_SPECULAR_MIS,
@@ -116,6 +119,7 @@ def test_no_nan_sentinel(cornell):
     assert pink.sum() == 0
 
 
+@pytest.mark.slow
 def test_show_lights_displays_radiance(cornell):
     scene, static, _ = cornell
     # Camera tilted up so the ceiling light is in frame (rotation_x: 0 looks
@@ -140,6 +144,7 @@ def test_show_lights_displays_radiance(cornell):
                                rtol=0.01)
 
 
+@pytest.mark.slow
 def test_shadow_rays_darken(cornell):
     lit = render(cornell, trace_shadow_rays=False, sample_count=16,
                  sampling_strategy=S.DIFFUSE_ONLY,
@@ -173,6 +178,7 @@ def test_hdr_bit_capture_roundtrip(cornell):
     np.testing.assert_allclose(recombined, linear, rtol=2e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_error_display_runs(cornell):
     from vulkan_renderer_tpu.core.settings import ErrorDisplay
     img = render(cornell, sampling_strategy=S.DIFFUSE_ONLY,
@@ -208,6 +214,7 @@ def test_all_13_techniques_run_and_agree(cornell):
                                                               base)
 
 
+@pytest.mark.slow
 def test_frame_stats_report_overflow(cornell):
     """A starved shadow-ray cluster budget must be REPORTED, not silent
     (VERDICT r1: counters were computed then discarded). Forces the

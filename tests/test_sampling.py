@@ -265,6 +265,7 @@ def test_psa_importance_consistency(n, central, rng):
     assert est == pytest.approx(exact, rel=0.02)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [3, 4, 5, 7])
 def test_psa_backward_error(n, rng):
     """The 2-iteration inversion must have backward error < 1e-5 (the

@@ -169,6 +169,7 @@ def test_arvo_psa_importance_consistency(central, rng):
     assert est == pytest.approx(exact, rel=0.02)
 
 
+@pytest.mark.slow
 def test_arvo_psa_backward_error(rng):
     worst = 0.0
     for _ in range(5):

@@ -30,6 +30,7 @@ def _rays(rng, n=640):
     return jnp.asarray(o), jnp.asarray(d), jnp.asarray(tm)
 
 
+@pytest.mark.slow
 def test_anyhit_fused_matches_bruteforce():
     rng = np.random.RandomState(0)
     tris = _scene(rng)
@@ -43,6 +44,7 @@ def test_anyhit_fused_matches_bruteforce():
     np.testing.assert_array_equal(np.asarray(got), ref)
 
 
+@pytest.mark.slow
 def test_closest_fused_matches_bruteforce():
     rng = np.random.RandomState(1)
     tris = _scene(rng)
@@ -63,6 +65,7 @@ def test_closest_fused_matches_bruteforce():
     assert not np.isfinite(np.asarray(t)[~hit]).any()
 
 
+@pytest.mark.slow
 def test_two_level_cull_matches_bruteforce():
     """>1024 clusters activates the supercluster pre-cull; hit results must
     stay exact (overflow reported otherwise)."""
@@ -137,6 +140,7 @@ def test_pipeline_pallas_trace_matches_bruteforce():
     np.testing.assert_allclose(np.asarray(img), ref, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_sliced_megabatch_matches_unsliced(monkeypatch):
     """Large megabatches run as multiple bounded-SMEM pallas_calls
     (lax.map slices); results must be identical to the single-call path."""
@@ -176,6 +180,7 @@ def test_anyhit_fused_overflow_reported():
     assert int(overflow) > 0
 
 
+@pytest.mark.slow
 def test_retrace_fixes_anyhit_overflow():
     """The exactness re-trace: a tiny first-pass budget overflows, the
     second pass with scaled budgets drives the counter to zero and the
@@ -198,6 +203,7 @@ def test_retrace_fixes_anyhit_overflow():
     np.testing.assert_array_equal(np.asarray(got), ref)
 
 
+@pytest.mark.slow
 def test_retrace_fixes_closest_uncertain():
     rng = np.random.RandomState(3)
     tris = _scene(rng, t=2000)
@@ -222,6 +228,7 @@ def test_retrace_fixes_closest_uncertain():
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_attr_pass_matches_geometry_attributes():
     """The deferred attribute-fetch kernel must reproduce the XLA
     geometry_attributes (shading_rows gather + re-intersection) for every
@@ -285,3 +292,65 @@ def test_attr_pass_matches_geometry_attributes():
     np.testing.assert_array_equal(
         np.asarray(got_geom.material_index)[hit],
         np.asarray(ref_geom.material_index)[hit])
+
+
+@pytest.mark.slow
+def test_pipeline_tile_order_matches_bruteforce():
+    """The tile pixel order (64-multiple widths: pure reshape/transpose
+    reorders instead of Morton permutation gathers) must produce the same
+    image as the row-major brute-force path, including the padded-row
+    crop."""
+    import dataclasses
+    import tempfile
+
+    from vulkan_renderer_tpu.assets.noise import NoiseType
+    from vulkan_renderer_tpu.core.settings import (PolygonSamplingTechnique,
+                                                   RenderSettings,
+                                                   SamplingStrategy)
+    from vulkan_renderer_tpu.render.pipeline import (make_frame_constants,
+                                                     render_frame_jit)
+    from vulkan_renderer_tpu.render.shading import SceneStatic
+    from vulkan_renderer_tpu.scene.camera import FirstPersonCamera
+    from vulkan_renderer_tpu.scene.lights import PolygonalLightSpec
+    from vulkan_renderer_tpu.scene.scene import load_scene
+    from vulkan_renderer_tpu.tools.export_scene import write_test_scene
+
+    d = tempfile.mkdtemp(prefix="tile_pipe_")
+    vks = write_test_scene(d, "cornell_box", texture_resolution=16)
+    light = PolygonalLightSpec(
+        translation=np.array([1.0, 1.0, 1.99], np.float32),
+        rotation_angles=np.array([np.pi, 0, 0], np.float32),
+        scaling_x=0.4, scaling_y=0.4,
+        radiant_flux=np.array([40.0, 35.0, 30.0], np.float32))
+    scene = load_scene(vks, d + "/cornell_box_textures", [light],
+                       noise_type=NoiseType.WHITE, data_directory=d)
+    camera = FirstPersonCamera(
+        position_world_space=np.array([1.0, 0.15, 1.0], np.float32),
+        rotation_x=0.6 * np.pi, rotation_z=np.pi)
+    settings = RenderSettings(
+        sampling_strategy=SamplingStrategy.DIFFUSE_ONLY,
+        polygon_sampling_technique=(
+            PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE),
+        sample_count=1, trace_shadow_rays=True, output_linear_rgb=True)
+    # width 128 (64-multiple) + chunk_rows 2 -> tile_h 4; height 10 is NOT
+    # a tile multiple, so the padded-row crop is exercised too.
+    base = SceneStatic(light_count=1, light_texturing=(0,),
+                       light_vertex_counts=(4,), trace_chunk_rows=2,
+                       primary_m_budget=64, shadow_m_budget=64)
+    w, h = 128, 10
+    constants = make_frame_constants(
+        camera, w, h, settings, (np.arange(4) * 0x123456).astype(np.uint32))
+    ref = np.asarray(render_frame_jit(
+        scene, dataclasses.replace(base, traversal="bruteforce"), settings,
+        constants, w, h))
+    img, stats = render_frame_jit(
+        scene, dataclasses.replace(base, traversal="pallas"), settings,
+        constants, w, h, with_stats=True)
+    assert int(stats.primary_uncertain) == 0
+    assert int(stats.shadow_overflow) == 0
+    assert img.shape == (h, w, 3)
+    # The noise image differs between pixel orders only through the pixel
+    # index mapping, which is identical by construction; allow tiny FP
+    # reassociation differences plus rare 1-spp boundary flips.
+    close = np.isclose(np.asarray(img), ref, atol=2e-3)
+    assert close.mean() > 0.995, close.mean()

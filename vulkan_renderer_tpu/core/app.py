@@ -130,8 +130,11 @@ class Application:
                 spec.texturing_technique for spec in self.scene_spec.lights),
             light_vertex_counts=tuple(
                 spec.vertex_count for spec in self.scene_spec.lights),
-            traversal="wavefront"
-            if self.scene.triangle_positions.shape[0] > 4096 else "auto",
+            # Always the wavefront/Pallas path: on TPU it carries the
+            # in-kernel attribute fetch (tiny scenes get trivial cluster
+            # unions), where "bruteforce" would fall back to per-pixel
+            # shading_rows gathers (~37 ms per 518k rows).
+            traversal="wavefront",
             # On TPU "wavefront" resolves to the Pallas tracer (exact via
             # the re-trace); these budgets only govern the CPU XLA
             # wavefront path, where the defaults (24) left the city-scale

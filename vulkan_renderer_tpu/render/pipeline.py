@@ -282,23 +282,46 @@ def _render_frame_body(scene, static, settings, constants, width, height,
     use_pallas_trace = traversal == "pallas" \
         or (traversal == "wavefront" and not trace_interpret)
 
-    xs = jnp.arange(width, dtype=jnp.float32)
-    ys = jnp.arange(height, dtype=jnp.float32)
-    if row_offset is not None:
-        ys = ys + jnp.asarray(row_offset, jnp.float32)
-    px, py = jnp.meshgrid(xs, ys, indexing="xy")
-    pixels_f = jnp.stack([px, py], axis=-1).reshape(-1, 2)
-    # The WHOLE frame runs in Morton pixel order: each trace chunk is
-    # then a compact pixel tile instead of a row scan strip (far tighter
-    # per-chunk cluster unions — this holds for the XLA wavefront tracer's
-    # 16384-ray chunks just as for the Pallas chunks), and the only
-    # reorder cost is one final gather of the colors.
+    # The WHOLE frame runs in a trace-friendly pixel order: each trace
+    # chunk is then a compact pixel tile instead of a row scan strip (far
+    # tighter per-chunk cluster unions — this holds for the XLA wavefront
+    # tracer's 16384-ray chunks just as for the Pallas chunks).
+    #
+    # Preferred order: 64 x (2*chunk_rows) TILES in row-major tile order,
+    # pixels row-major inside (one tile == one Pallas trace chunk). Tile
+    # order is a pure reshape/transpose on device — Morton order needs a
+    # PERMUTATION GATHER, and at 518k rows each of (pixels in, noise in,
+    # colors out) cost ~37 ms on v5e (~110 ms/frame of pure reordering).
+    # Non-64-multiple widths (tiny test frames) fall back to Morton.
     morton_order = use_pallas_trace or traversal == "wavefront"
-    if morton_order:
-        from .trace_kernel import morton_pixel_permutation
-        perm_np, inv_np = morton_pixel_permutation(width, height)
-        pixels_f = pixels_f[jnp.asarray(perm_np)]
-        inv_perm = jnp.asarray(inv_np)
+    tile_h = max(2 * static.trace_chunk_rows, 1)
+    tiled = morton_order and width % 64 == 0 and height > tile_h
+    render_h = height
+    inv_perm = None
+    if tiled:
+        render_h = -(-height // tile_h) * tile_h  # pad rows, crop at end
+        ty, tx = render_h // tile_h, width // 64
+        yy, xx = np.meshgrid(np.arange(render_h, dtype=np.float32),
+                             np.arange(width, dtype=np.float32),
+                             indexing="ij")
+        coords = np.stack([xx, yy], -1).reshape(ty, tile_h, tx, 64, 2) \
+            .transpose(0, 2, 1, 3, 4).reshape(-1, 2)
+        pixels_f = jnp.asarray(coords)  # baked constant, no device gather
+        if row_offset is not None:
+            pixels_f = pixels_f + jnp.stack(
+                [jnp.float32(0.0), jnp.asarray(row_offset, jnp.float32)])
+    else:
+        xs = jnp.arange(width, dtype=jnp.float32)
+        ys = jnp.arange(height, dtype=jnp.float32)
+        if row_offset is not None:
+            ys = ys + jnp.asarray(row_offset, jnp.float32)
+        px, py = jnp.meshgrid(xs, ys, indexing="xy")
+        pixels_f = jnp.stack([px, py], axis=-1).reshape(-1, 2)
+        if morton_order:
+            from .trace_kernel import morton_pixel_permutation
+            perm_np, inv_np = morton_pixel_permutation(width, height)
+            pixels_f = pixels_f[jnp.asarray(perm_np)]
+            inv_perm = jnp.asarray(inv_np)
     pixels_i = pixels_f.astype(jnp.int32)
     # Integer pixel -> ray dir via the pixel_to_ray matrix (glsl:833).
     ray_dirs = (jnp.concatenate([pixels_f, jnp.ones_like(pixels_f[:, :1])],
@@ -369,15 +392,22 @@ def _render_frame_body(scene, static, settings, constants, width, height,
                       * static.linear_light_count, 1)
     if morton_order:
         # Image-form fetch: the scrambled offsets/layer are per-frame
-        # scalars, so the noise is a dense roll+tile of the table plus the
-        # frame's ONE Morton reorder gather — replaces fetch_count
-        # per-pixel table gathers (ops/noise.py get_noise_image).
+        # scalars, so the noise is a dense roll+tile of the table plus ONE
+        # reorder — a free reshape/transpose in tile order, a permutation
+        # gather in the Morton fallback (ops/noise.py get_noise_image).
         from ..ops.noise import get_noise_image
-        noise_pairs = get_noise_image(
-            scene.noise_table, width, height, total_pairs,
+        noise_img = get_noise_image(
+            scene.noise_table, width, render_h, total_pairs,
             scene.noise_texture_index_mask,
             constants.noise_random_numbers,
-            row_offset=row_offset)[jnp.asarray(perm_np)]
+            row_offset=row_offset)
+        if tiled:
+            noise_pairs = noise_img.reshape(
+                ty, tile_h, tx, 64, total_pairs, 2) \
+                .transpose(0, 2, 1, 3, 4, 5) \
+                .reshape(-1, total_pairs, 2)
+        else:
+            noise_pairs = noise_img[jnp.asarray(perm_np)]
     else:
         noise_pairs = get_noise_pairs(
             scene.noise_table, pixels_i, total_pairs,
@@ -488,9 +518,15 @@ def _render_frame_body(scene, static, settings, constants, width, height,
                        constants.exposure_factor, colors)
     colors = colors * constants.exposure_factor
     colors = _postprocess(colors, settings)
-    if morton_order:
-        colors = colors[inv_perm]  # Morton order -> row-major image
-    image = colors.reshape(height, width, 3)
+    if tiled:
+        # Tile order -> row-major: a reshape/transpose, then crop the
+        # padded rows.
+        image = colors.reshape(ty, tx, tile_h, 64, 3) \
+            .transpose(0, 2, 1, 3, 4).reshape(render_h, width, 3)[:height]
+    else:
+        if morton_order:
+            colors = colors[inv_perm]  # Morton order -> row-major image
+        image = colors.reshape(height, width, 3)
     if with_stats:
         return image, FrameStats(primary_uncertain, shadow_overflow)
     return image

@@ -81,7 +81,13 @@ def _supercluster_aabbs(clusters: Clusters):
     Padding members use NaN AABBs: every slab comparison on NaN is False,
     so they can never test as hit. (+/-inf "empty" boxes do NOT work here:
     (lo-o)*inv = -inf and +inf per axis make t_near=-inf <= t_far=+inf
-    pass the slab test — a phantom hit.)"""
+    pass the slab test — a phantom hit.)
+
+    Returns (member_rows (KS, _SC_GROUP*6), sc_lo, sc_hi): member AABBs
+    grouped per supercluster into ONE row [all lo | all hi] — a
+    supercluster's members are contiguous clusters, so the cull fetches
+    sc_budget rows per chunk instead of sc_budget*_SC_GROUP (gathers pay
+    per row: this was ~half the shadow cull cost)."""
     k = clusters.cluster_count
     ks = -(-k // _SC_GROUP)
     pad = ks * _SC_GROUP - k
@@ -95,7 +101,10 @@ def _supercluster_aabbs(clusters: Clusters):
     valid_hi = jnp.where(jnp.isnan(hi), -jnp.inf, hi)
     sc_lo = valid_lo.reshape(ks, _SC_GROUP, 3).min(axis=1)
     sc_hi = valid_hi.reshape(ks, _SC_GROUP, 3).max(axis=1)
-    return lo, hi, sc_lo, sc_hi
+    member_rows = jnp.concatenate(
+        [lo.reshape(ks, _SC_GROUP * 3), hi.reshape(ks, _SC_GROUP * 3)],
+        axis=1)
+    return member_rows, sc_lo, sc_hi
 
 
 def _nearest_k(t_sel, ids, budget: int):
@@ -157,7 +166,7 @@ def _union_cull(clusters: Clusters, origins, dirs, t_max, chunk: int,
             f"sc_budget*{_SC_GROUP} = {sc_budget * _SC_GROUP} must cover "
             f"m_budget = {m_budget}")
     if two_level:
-        pad_lo, pad_hi, sc_lo, sc_hi = _supercluster_aabbs(clusters)
+        member_rows, sc_lo, sc_hi = _supercluster_aabbs(clusters)
         ks = sc_lo.shape[0]
         member_offsets = jnp.arange(_SC_GROUP, dtype=jnp.int32)
     all_ids = jnp.arange(k, dtype=jnp.int32)
@@ -176,13 +185,17 @@ def _union_cull(clusters: Clusters, origins, dirs, t_max, chunk: int,
             sc_dropped = jnp.sum(sc_dropped_sel, dtype=jnp.int32)
             member_ids = (sc_ids[:, None] * _SC_GROUP
                           + member_offsets[None, :]).reshape(-1)
-            # Padded/dropped superclusters contribute NaN AABBs (never
-            # hit; see _supercluster_aabbs on why not +/-inf).
+            # ONE grouped row per selected supercluster (members are
+            # contiguous); padded/dropped superclusters contribute NaN
+            # AABBs (never hit; see _supercluster_aabbs on why not
+            # +/-inf).
+            rows_sel = member_rows[sc_ids]  # (sc_budget, G*6)
+            g3 = _SC_GROUP * 3
             sel_lo = jnp.where(sc_valid[:, None, None],
-                               pad_lo[member_ids].reshape(
+                               rows_sel[:, :g3].reshape(
                                    -1, _SC_GROUP, 3), jnp.nan).reshape(-1, 3)
             sel_hi = jnp.where(sc_valid[:, None, None],
-                               pad_hi[member_ids].reshape(
+                               rows_sel[:, g3:].reshape(
                                    -1, _SC_GROUP, 3), jnp.nan).reshape(-1, 3)
             mask, t_near = _slab_mask(sel_lo, sel_hi, o, d, t)
             t_sel = jnp.min(jnp.where(mask, t_near, jnp.inf), axis=0)
@@ -252,8 +265,9 @@ def _pack_rays(origins, dirs, t_max, chunk: int):
 
 
 def _padded_tables(clusters: Clusters):
-    """(K, 1, W) triangle planes (W = 9C padded to a lane multiple) and
-    (K, 1, 8) AABB rows for per-step DMA blocks."""
+    """(K, 1, W) triangle planes (W = 9C padded to a lane multiple),
+    (K, 1, 8) AABB rows and (K, 1, G*6) sub-box rows for per-step DMA
+    blocks."""
     k, w9 = clusters.planes.shape
     w = -(-w9 // _LANE) * _LANE
     tab = clusters.planes
@@ -264,12 +278,24 @@ def _padded_tables(clusters: Clusters):
     aabb = jnp.concatenate(
         [clusters.aabb_lo, clusters.aabb_hi,
          jnp.zeros((k, 2), jnp.float32)], axis=1).reshape(k, 1, 8)
-    return tab, aabb
+    if clusters.subboxes is not None:
+        sub = clusters.subboxes.reshape(k, 1, -1)
+    else:
+        # Degenerate single sub-box = the cluster AABB (old pytrees).
+        sub = jnp.concatenate([clusters.aabb_lo, clusters.aabb_hi],
+                              axis=1).reshape(k, 1, 6)
+    return tab, aabb, sub
 
 
 def _ray_slab(aabb_ref, ox, oy, oz, dx, dy, dz, t_cap):
     lo = [aabb_ref[0, 0, c] for c in range(3)]
     hi = [aabb_ref[0, 0, 3 + c] for c in range(3)]
+    return _ray_slab_scalars(lo, hi, ox, oy, oz, dx, dy, dz, t_cap)
+
+
+def _ray_slab_scalars(lo, hi, ox, oy, oz, dx, dy, dz, t_cap):
+    """Slab test of ray planes against one box given as 3+3 scalars.
+    NaN box coordinates fail every comparison (used for empty padding)."""
     t_near = None
     t_far = None
     for o, d, l, h in ((ox, dx, lo[0], hi[0]), (oy, dy, lo[1], hi[1]),
@@ -353,7 +379,7 @@ def _anyhit_pass(clusters: Clusters, origins, dirs, t_max,
                                              t_max, chunk, m,
                                              sc_budget=sc_budget)
     rays, r = _pack_rays(origins, dirs, t_max, chunk)
-    tab, aabb = _padded_tables(clusters)
+    tab, aabb, _ = _padded_tables(clusters)
     nr = rays.shape[1]
 
     def kernel(ids_ref, valid_ref, rays_ref, tab_ref, aabb_ref, out_ref):
@@ -373,6 +399,10 @@ def _anyhit_pass(clusters: Clusters, origins, dirs, t_max,
 
         @pl.when(is_valid & jnp.any(work))
         def _():
+            # Flat triangle loop: sub-box gating was MEASURED SLOWER here
+            # (+21 ms at the flagship shadow megabatch) — any-hit rays
+            # terminate early via the work mask, so the extra slab tests
+            # and branches outweigh the skipped triangle math.
             occ = jnp.zeros_like(ox, dtype=jnp.bool_)
             for t in range(c):
                 v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = \
@@ -554,10 +584,12 @@ def _closest_pass(clusters: Clusters, origins, dirs, t_max,
                                              t_max, chunk, m,
                                              sc_budget=sc_budget)
     rays, r = _pack_rays(origins, dirs, t_max, chunk)
-    tab, aabb = _padded_tables(clusters)
+    tab, aabb, sub = _padded_tables(clusters)
+    n_sub = sub.shape[2] // 6
+    g_sub = -(-c // n_sub)
     nr = rays.shape[1]
 
-    def kernel(ids_ref, valid_ref, rays_ref, tab_ref, aabb_ref,
+    def kernel(ids_ref, valid_ref, rays_ref, tab_ref, aabb_ref, sub_ref,
                t_ref, prim_ref):
         i = pl.program_id(0)
         mm = pl.program_id(1)
@@ -578,30 +610,43 @@ def _closest_pass(clusters: Clusters, origins, dirs, t_max,
 
         @pl.when(is_valid & jnp.any(work))
         def _():
-            bt = best_t
-            bp = prim_ref[...]
-            for t in range(c):
-                v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = \
-                    _tri_scalars(tab_ref, t, c)
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                det_ok = jnp.abs(det) > 1e-12
-                inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
-                tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
-                u = (tx * px + ty * py + tz * pz) * inv_det
-                qx = ty * e1z - tz * e1y
-                qy = tz * e1x - tx * e1z
-                qz = tx * e1y - ty * e1x
-                v = (dx * qx + dy * qy + dz * qz) * inv_det
-                tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                hit = det_ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) \
-                    & (tt >= np.float32(t_min)) & (tt < bt) & work
-                bp = jnp.where(hit, cluster_id * c + t, bp)
-                bt = jnp.where(hit, tt, bt)
-            t_ref[...] = bt
-            prim_ref[...] = bp
+            for gg in range(n_sub):
+                slo = [sub_ref[0, 0, gg * 6 + cc] for cc in range(3)]
+                shi = [sub_ref[0, 0, gg * 6 + 3 + cc] for cc in range(3)]
+                # Prune by the CURRENT best t (refreshed per sub-block:
+                # earlier blocks of this step may have improved it).
+                bt0 = t_ref[...]
+                smask, _ = _ray_slab_scalars(slo, shi, ox, oy, oz,
+                                             dx, dy, dz, bt0)
+                sw = smask & mask
+
+                @pl.when(jnp.any(sw))
+                def _(gg=gg, sw=sw):
+                    bt = t_ref[...]
+                    bp = prim_ref[...]
+                    for t in range(gg * g_sub, min((gg + 1) * g_sub, c)):
+                        v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z = \
+                            _tri_scalars(tab_ref, t, c)
+                        px = dy * e2z - dz * e2y
+                        py = dz * e2x - dx * e2z
+                        pz = dx * e2y - dy * e2x
+                        det = e1x * px + e1y * py + e1z * pz
+                        det_ok = jnp.abs(det) > 1e-12
+                        inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+                        tx, ty, tz = ox - v0x, oy - v0y, oz - v0z
+                        u = (tx * px + ty * py + tz * pz) * inv_det
+                        qx = ty * e1z - tz * e1y
+                        qy = tz * e1x - tx * e1z
+                        qz = tx * e1y - ty * e1x
+                        v = (dx * qx + dy * qy + dz * qz) * inv_det
+                        tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                        hit = det_ok & (u >= 0.0) & (v >= 0.0) \
+                            & (u + v <= 1.0) & (tt >= np.float32(t_min)) \
+                            & (tt < bt) & sw
+                        bp = jnp.where(hit, cluster_id * c + t, bp)
+                        bt = jnp.where(hit, tt, bt)
+                    t_ref[...] = bt
+                    prim_ref[...] = bp
 
     def call_one(ids_s, valid_s, rays_s, nc_s):
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -616,6 +661,10 @@ def _closest_pass(clusters: Clusters, origins, dirs, t_max,
                              (ids[i * m + mm], 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, 8),
+                             lambda i, mm, ids, valid:
+                             (ids[i * m + mm], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, sub.shape[2]),
                              lambda i, mm, ids, valid:
                              (ids[i * m + mm], 0, 0),
                              memory_space=pltpu.VMEM),
@@ -640,7 +689,7 @@ def _closest_pass(clusters: Clusters, origins, dirs, t_max,
                 vmem_limit_bytes=100 * 1024 * 1024,
                 dimension_semantics=("parallel", "arbitrary")),
             interpret=interpret,
-        )(ids_s, valid_s, rays_s, tab, aabb)
+        )(ids_s, valid_s, rays_s, tab, aabb, sub)
 
     t_out, prim_out = _sliced_call(call_one, nc, m, chunk_rows,
                                    ids, valid, rays)
@@ -770,7 +819,7 @@ def _attr_pass(clusters: Clusters, ids, valid, rays8, nc: int,
     tangent-frame math ONCE per ray (shading_pass.frag.glsl:738-812) and
     writes the attribute planes."""
     c = clusters.cluster_size
-    tab, _ = _padded_tables(clusters)
+    tab, _, _ = _padded_tables(clusters)
     atab = _padded_attr_table(clusters)
     dcam = jnp.asarray(ray_d_derivs, jnp.float32).reshape(2, 3)
 
@@ -791,14 +840,26 @@ def _attr_pass(clusters: Clusters, ids, valid, rays8, nc: int,
 
         @pl.when(is_valid & jnp.any(sel_any))
         def _():
-            vals = [acc_ref[j] for j in range(_ACC_PLANES)]
-            for t in range(c):
-                s = prim == base + np.float32(t)
-                sc = _tri_scalars(tab_ref, t, c) \
-                    + [attr_ref[0, 0, kk * c + t] for kk in range(16)]
-                sc.append(np.float32(1.0))  # found
-                vals = [jnp.where(s, scv, v) for scv, v in zip(sc, vals)]
-            acc_ref[...] = jnp.stack(vals)
+            # Gate each 8-triangle block on whether any ray's best hit
+            # falls in its id range (typically 1-2 of 8 blocks fire).
+            g_sub = max(1, min(8, c))
+            for g0 in range(0, c, g_sub):
+                size = min(g_sub, c - g0)
+                sel_g = (prim >= base + np.float32(g0)) \
+                    & (prim < base + np.float32(g0 + size))
+
+                @pl.when(jnp.any(sel_g))
+                def _(g0=g0, size=size):
+                    vals = [acc_ref[j] for j in range(_ACC_PLANES)]
+                    for t in range(g0, g0 + size):
+                        s = prim == base + np.float32(t)
+                        sc = _tri_scalars(tab_ref, t, c) \
+                            + [attr_ref[0, 0, kk * c + t]
+                               for kk in range(16)]
+                        sc.append(np.float32(1.0))  # found
+                        vals = [jnp.where(s, scv, v)
+                                for scv, v in zip(sc, vals)]
+                    acc_ref[...] = jnp.stack(vals)
 
         @pl.when(mm == m - 1)
         def _():

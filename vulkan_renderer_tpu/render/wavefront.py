@@ -60,6 +60,13 @@ class Clusters(NamedTuple):
     # (trace_kernel.trace_closest_attrs), which replaces the per-pixel
     # shading_rows gather (~37 ms / 518k rows) with per-cluster DMA.
     attrs: jnp.ndarray | None = None
+    # Per-cluster sub-box AABBs: G = C/8 boxes of 8 consecutive triangles,
+    # laid out (K, G*6) as [lo.xyz hi.xyz] per box (NaN for boxes with no
+    # valid triangle — NaN comparisons fail every slab test). The Pallas
+    # kernels gate each 8-triangle block on its sub-box slab test, cutting
+    # the dominant triangle-loop FLOPs by the sub-box hit fraction (a
+    # mini-BVH level held in VMEM).
+    subboxes: jnp.ndarray | None = None
 
     @property
     def cluster_count(self) -> int:
@@ -100,6 +107,18 @@ def build_clusters(triangle_positions: np.ndarray,
         [v0[:, :, 0], v0[:, :, 1], v0[:, :, 2],
          e1[:, :, 0], e1[:, :, 1], e1[:, :, 2],
          e2[:, :, 0], e2[:, :, 1], e2[:, :, 2]], axis=1)
+    # Sub-box AABBs over groups of 8 consecutive triangles (see Clusters).
+    sub = max(1, min(8, cluster_size))
+    g = -(-cluster_size // sub)
+    s_lo = np.where(lane_valid, lo, np.inf) \
+        .reshape(k, g, sub, 3).min(axis=2)
+    s_hi = np.where(lane_valid, hi, -np.inf) \
+        .reshape(k, g, sub, 3).max(axis=2)
+    s_any = lane_valid.reshape(k, g, sub, 1).any(axis=2)
+    s_lo = np.where(s_any, s_lo, np.nan)
+    s_hi = np.where(s_any, s_hi, np.nan)
+    subboxes = np.concatenate([s_lo, s_hi], axis=-1).reshape(k, g * 6) \
+        .astype(np.float32)
     attrs = None
     if triangle_normals is not None:
         nrm = np.asarray(triangle_normals, np.float32)
@@ -120,18 +139,29 @@ def build_clusters(triangle_positions: np.ndarray,
         attrs = jnp.asarray(np.ascontiguousarray(
             np.concatenate(cols, axis=1)))
     return Clusters(jnp.asarray(aabb_lo), jnp.asarray(aabb_hi),
-                    jnp.asarray(np.ascontiguousarray(planes)), attrs)
+                    jnp.asarray(np.ascontiguousarray(planes)), attrs,
+                    jnp.asarray(subboxes))
 
 
 def _slab_mask(lo, hi, origins, dirs, t_max):
     """(R, K) ray/AABB test. origins/dirs: (R, 3); t_max: (R,) or scalar.
-    Returns (mask, t_near)."""
+    Returns (mask, t_near).
+
+    Written as an axis loop over (R, K) tensors: the vectorized
+    (R, K, 3) form materialized ~6 such intermediates per call, and at
+    megabatch cull sizes (2048 rays x 512 cluster pool per chunk) the HBM
+    round-trips of those tensors dominated the whole cull."""
     inv = jnp.where(jnp.abs(dirs) > 1e-20,
                     1.0 / jnp.where(jnp.abs(dirs) > 1e-20, dirs, 1.0), 1e30)
-    t0 = (lo[None, :, :] - origins[:, None, :]) * inv[:, None, :]
-    t1 = (hi[None, :, :] - origins[:, None, :]) * inv[:, None, :]
-    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
-    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    t_near = None
+    t_far = None
+    for a in range(3):
+        t0 = (lo[None, :, a] - origins[:, None, a]) * inv[:, None, a]
+        t1 = (hi[None, :, a] - origins[:, None, a]) * inv[:, None, a]
+        near = jnp.minimum(t0, t1)
+        far = jnp.maximum(t0, t1)
+        t_near = near if t_near is None else jnp.maximum(t_near, near)
+        t_far = far if t_far is None else jnp.minimum(t_far, far)
     t_cap = jnp.broadcast_to(jnp.asarray(t_max), origins.shape[:1])
     # t_cap < 0 marks dead rays (padding / already-proven rays in a
     # re-trace pass): they must never mark a cluster, even when their
