@@ -33,6 +33,10 @@ def main():
                         help="rays per trace chunk / 128")
     parser.add_argument("--primary-budget", type=int, default=64)
     parser.add_argument("--shadow-budget", type=int, default=48)
+    parser.add_argument("--primary-sc", type=int, default=32,
+                        help="primary supercluster cull budget")
+    parser.add_argument("--shadow-sc", type=int, default=16,
+                        help="shadow supercluster cull budget")
     parser.add_argument("--cluster-size", type=int, default=64,
                         help="triangles per traversal cluster")
     parser.add_argument("--retrace-factor", type=int, default=2,
@@ -87,6 +91,8 @@ def main():
                          trace_chunk_rows=args.chunk_rows,
                          primary_m_budget=args.primary_budget,
                          shadow_m_budget=args.shadow_budget,
+                         primary_sc_budget=args.primary_sc,
+                         shadow_sc_budget=args.shadow_sc,
                          retrace_factor=args.retrace_factor)
     camera = FirstPersonCamera(
         position_world_space=np.array([0.0, 0.0, 2.0], np.float32),

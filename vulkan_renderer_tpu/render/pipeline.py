@@ -348,6 +348,7 @@ def _render_frame_body(scene, static, settings, constants, width, height,
                     ray_dirs, constants.pixel_to_ray[:, :2].T,
                     chunk_rows=static.trace_chunk_rows,
                     m_budget=static.primary_m_budget,
+                    sc_budget=static.primary_sc_budget,
                     interpret=trace_interpret,
                     retrace_factor=static.retrace_factor)
             attr_planes, fix_residual = _fixup_stale_attrs(
@@ -366,7 +367,9 @@ def _render_frame_body(scene, static, settings, constants, width, height,
                 scene.clusters,
                 jnp.broadcast_to(constants.camera_position, ray_dirs.shape),
                 ray_dirs, chunk_rows=static.trace_chunk_rows,
-                m_budget=static.primary_m_budget, interpret=trace_interpret,
+                m_budget=static.primary_m_budget,
+                sc_budget=static.primary_sc_budget,
+                interpret=trace_interpret,
                 retrace_factor=static.retrace_factor)
     elif traversal == "wavefront":
         primitive_index, _, primary_uncertain = trace_closest(
@@ -492,7 +495,9 @@ def _render_frame_body(scene, static, settings, constants, width, height,
             occluded, shadow_overflow = trace_anyhit_fused(
                 scene.clusters, flat_origins, flat_dirs, flat_tmax,
                 chunk_rows=static.trace_chunk_rows,
-                m_budget=static.shadow_m_budget, interpret=trace_interpret,
+                m_budget=static.shadow_m_budget,
+                sc_budget=static.shadow_sc_budget,
+                interpret=trace_interpret,
                 retrace_factor=static.retrace_factor)
         elif traversal == "wavefront":
             occluded, shadow_overflow = trace_anyhit(

@@ -73,16 +73,25 @@ class SceneStatic:
     primary_pairs_per_ray: int = 24
     shadow_pairs_per_ray: int = 24
     # Pallas traversal (render/trace_kernel.py, TPU only): rays per chunk
-    # (x128) sharing one compacted cluster union of at most *_m_budget
-    # clusters. Overflow/uncertain counters report dropped clusters.
+    # (x128) sharing one chunk-union work-item list. *_m_budget is the
+    # AVERAGE per-chunk item capacity (global cap = chunks x budget): it
+    # bounds SMEM/grid size, not per-chunk coverage — a chunk may use many
+    # items while its neighbors use few. Overflow/uncertain counters
+    # report rays left unproven by dropped superclusters or a capacity
+    # overflow.
     trace_chunk_rows: int = 16
     primary_m_budget: int = 64
     shadow_m_budget: int = 48
+    # Supercluster cull budgets (two-level cull tier; the ONLY remaining
+    # per-chunk truncation — dropped superclusters produce per-ray
+    # exactness bounds that trigger the re-trace).
+    primary_sc_budget: int = 32
+    shadow_sc_budget: int = 16
     # Exactness re-trace: rays left unproven by the budgets above are
-    # compacted and re-traced with 4x smaller chunks (tighter unions) and
-    # budgets scaled by this factor (lax.cond-gated, free when the first
-    # pass is exact). 1 disables — counters then report first-pass
-    # overflow as in round 2.
+    # compacted (order-preserving) and re-traced EXHAUSTIVELY — all
+    # superclusters, item capacity scaled by this factor (lax.cond-gated,
+    # free when the first pass is exact). 1 disables — counters then
+    # report first-pass overflow as in round 2.
     retrace_factor: int = 2
     # Material-sampler anisotropic filtering taps (reference:
     # scene.c:546-557 enables maxAnisotropy=16 in hardware). Default 1 =

@@ -6,21 +6,29 @@ that matmul is ~85% of the trace cost (~3.6 TFLOP of pure data movement
 per megabatch). Here:
 
   Phase 1 (XLA, cheap): rays are processed in chunks of `chunk_rows`*128;
-    one dense slab test per chunk yields the UNION of hit clusters,
-    compacted to `m_budget` ids (top_k over K per chunk — thousands of
-    times cheaper than per-ray top_k over K).
-  Phase 2 (Pallas): grid (chunk, m). A scalar-prefetched index map DMAs
-    exactly cluster m's triangle planes (one (1,1,W) block) into VMEM;
-    the kernel intersects the chunk's rays against its `cluster_size`
-    triangles entirely in VMEM/registers, accumulating any-hit occlusion
-    or running closest-hit (t, prim) across the m dimension. A per-step
-    AABB test skips the triangle loop when no live ray can hit.
+    one dense slab test per chunk yields the UNION of hit clusters. EVERY
+    hit (chunk, cluster) pair becomes one WORK ITEM, packed chunk-major
+    into a single i32 array (chunk*KPAD + cluster) — no per-chunk
+    truncation, so the kernels cover the full union by construction
+    (_union_items).
+  Phase 2 (Pallas): a 1-D grid over the work items. A scalar-prefetched
+    index map DMAs exactly the item's cluster triangle planes (one
+    (1,1,W) block) into VMEM; the kernel intersects the item's chunk rays
+    against its `cluster_size` triangles entirely in VMEM/registers,
+    accumulating any-hit occlusion or closest-hit (t, prim) across the
+    chunk's contiguous item run (out blocks revisit contiguously because
+    items are chunk-major; consecutive same-index blocks skip the DMA).
+    The grid's step count is the SUM of union sizes instead of
+    nc x budget — the fixed-budget grid spent most steps on invalid
+    tails and forced a budget/exactness trade.
 
 Same hit semantics as the reference's ray queries: t in [t_min, t_max],
 no backface culling, force-opaque (shading_pass.frag.glsl:120-138).
-Exactness: results are exact whenever the chunk's cluster union fits
-m_budget; dropped clusters are counted in the returned overflow (any-hit)
-/ uncertain (closest-hit) counters, same contract as render/wavefront.py.
+Exactness: member-level coverage is total; a ray is unproven only when a
+dropped SUPERcluster's slab hits it (sc_budget tier) or its chunk's items
+overflow the global capacity (nc*avg_items, SMEM-bounded) — both counted
+in the returned overflow (any-hit) / uncertain (closest-hit) counters and
+repaired by the lax.cond re-trace, same contract as render/wavefront.py.
 """
 
 from __future__ import annotations
@@ -121,7 +129,7 @@ def _nearest_k(t_sel, ids, budget: int):
     compaction is a one-hot where-sum. Unlike lax.top_k's per-call sort
     this vectorizes cleanly when the caller vmaps whole blocks of chunks
     (the sequential-scan cull was ~35 ms of a 73 ms trace; see
-    _union_cull)."""
+    _union_items)."""
     n = t_sel.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     lt = t_sel[None, :] < t_sel[:, None]
@@ -142,29 +150,33 @@ def _nearest_k(t_sel, ids, budget: int):
     return sel_ids.astype(jnp.int32), valid, dropped_sel
 
 
-def _union_cull(clusters: Clusters, origins, dirs, t_max, chunk: int,
-                m_budget: int, sc_budget: int = _SC_BUDGET):
-    """Per-chunk union of slab-hit clusters, compacted FRONT-TO-BACK to
-    the m_budget nearest (by chunk-min slab entry t) — deep chunks keep
-    their near geometry and push drops far away, mirroring the XLA
-    tracer's nearest-first cull (wavefront.py _cull_topk_nearest).
+# One i32 scalar-prefetch array of work items; measured-safe SMEM budget
+# (~0.78 MB compiles/runs on v5e, ~1.5 MB crashes the compiler).
+_MAX_ITEMS = 160 * 1024
 
-    Returns (ids (NC*M,) i32, valid (NC*M,) i32, t_bound (NC, chunk) f32,
-    dropped (), NC). t_bound is PER RAY: the smallest slab entry among
-    dropped clusters whose slab test hits that ray (inf when none — then
-    the ray's result is provably exact up to any t <= t_bound). The
-    per-ray form matters: a chunk-level bound flags every ray in a chunk
-    for one far dropped cluster, inflating the unproven set ~50x at the
-    flagship config. `dropped` counts potentially-hit dropped clusters."""
+
+def _union_items(clusters: Clusters, origins, dirs, t_max, chunk: int,
+                 avg_items: int, sc_budget: int = _SC_BUDGET):
+    """Work-item cull: per chunk, EVERY slab-hit member cluster becomes
+    one (chunk, cluster) work item — no per-chunk truncation, so the
+    kernels cover the full union by construction. Items are packed
+    chunk-major into one i32 array as chunk*KPAD + cluster (cluster == K
+    addresses the inert pad row), with KPAD = K + 1: the kernel grid
+    iterates items, so its step count is the SUM of union sizes instead
+    of nc x m_budget (the fixed-budget grid spent most steps on invalid
+    tails and forced the budget/exactness trade).
+
+    Exactness bounds come from two sources only: dropped SUPERclusters
+    (budget sc_budget, per-ray slab refinement) and chunks whose items
+    overflow the global capacity nc*avg_items (their rays get bound 0 =
+    fully unproven; the re-trace picks them up).
+
+    Returns (items (CAP,) i32, counts (NC,) i32, t_bound (NC, chunk) f32,
+    dropped (), NC)."""
     k = clusters.cluster_count
+    kpad = k + 1
     (o_c, d_c, t_c), r = _chunk_rows([origins, dirs, t_max], chunk)
     two_level = k > _TWO_LEVEL_MIN_CLUSTERS
-    if two_level and sc_budget * _SC_GROUP < m_budget:
-        # The per-chunk member pool is sc_budget*_SC_GROUP ids; a smaller
-        # pool than m_budget would misalign every chunk's fixed-m fetches.
-        raise ValueError(
-            f"sc_budget*{_SC_GROUP} = {sc_budget * _SC_GROUP} must cover "
-            f"m_budget = {m_budget}")
     if two_level:
         member_rows, sc_lo, sc_hi = _supercluster_aabbs(clusters)
         ks = sc_lo.shape[0]
@@ -180,8 +192,8 @@ def _union_cull(clusters: Clusters, origins, dirs, t_max, chunk: int,
                 sc_t, jnp.arange(ks, dtype=jnp.int32), min(sc_budget, ks))
             # Per-ray bound from dropped superclusters: the sc AABB entry
             # lower-bounds every member's entry.
-            sc_bound = jnp.min(jnp.where(sc_mask & sc_dropped_sel[None, :],
-                                         sc_near, jnp.inf), axis=1)
+            t_bound = jnp.min(jnp.where(sc_mask & sc_dropped_sel[None, :],
+                                        sc_near, jnp.inf), axis=1)
             sc_dropped = jnp.sum(sc_dropped_sel, dtype=jnp.int32)
             member_ids = (sc_ids[:, None] * _SC_GROUP
                           + member_offsets[None, :]).reshape(-1)
@@ -199,35 +211,28 @@ def _union_cull(clusters: Clusters, origins, dirs, t_max, chunk: int,
                                    -1, _SC_GROUP, 3), jnp.nan).reshape(-1, 3)
             mask, t_near = _slab_mask(sel_lo, sel_hi, o, d, t)
             t_sel = jnp.min(jnp.where(mask, t_near, jnp.inf), axis=0)
-            ids, valid, dropped_sel = _nearest_k(
-                t_sel, member_ids, min(m_budget, member_ids.shape[0]))
-            m_bound = jnp.min(jnp.where(mask & dropped_sel[None, :],
-                                        t_near, jnp.inf), axis=1)
-            t_bound = jnp.minimum(m_bound, sc_bound)
-            dropped = sc_dropped * jnp.int32(_SC_GROUP) \
-                + jnp.sum(dropped_sel, dtype=jnp.int32)
+            keep = jnp.isfinite(t_sel)
+            ids = jnp.where(keep & (member_ids < k), member_ids, k)
         else:
             mask, t_near = _slab_mask(clusters.aabb_lo, clusters.aabb_hi,
                                       o, d, t)
             t_sel = jnp.min(jnp.where(mask, t_near, jnp.inf), axis=0)
-            ids, valid, dropped_sel = _nearest_k(t_sel, all_ids,
-                                                 min(m_budget, k))
-            t_bound = jnp.min(jnp.where(mask & dropped_sel[None, :],
-                                        t_near, jnp.inf), axis=1)
-            dropped = jnp.sum(dropped_sel, dtype=jnp.int32)
-        return (ids, valid.astype(jnp.int32), t_bound, dropped)
+            keep = jnp.isfinite(t_sel)
+            ids = jnp.where(keep, all_ids, k)
+            t_bound = jnp.full(o.shape[:1], jnp.inf)
+            sc_dropped = jnp.int32(0)
+        return (ids.astype(jnp.int32), keep, t_bound, sc_dropped)
 
-    # Blocks of _CULL_BLOCK chunks, vmapped inside a lax.map step: the
-    # former per-chunk lax.scan serialized ~0.1 ms of dense work per chunk
-    # and was ~half the trace cost (35 of 73 ms at 254 chunks); batching
-    # amortizes the per-step overhead and feeds the VPU full tiles while
-    # keeping the slab-test intermediates (CB, members, rays) bounded.
+    # Blocks of _CULL_BLOCK chunks, vmapped inside a lax.map step: a
+    # per-chunk lax.scan serialized ~0.1 ms of dense work per chunk;
+    # batching amortizes it while keeping the (CB, members, rays)
+    # slab-test intermediates bounded.
     nc = o_c.shape[0]
     cb = min(_CULL_BLOCK, nc)
     pad_c = (-nc) % cb
     if pad_c:
         # Dead chunks: rays with t_max = -1 fail every slab test; their
-        # outputs are sliced off below (before the dropped-counter sum).
+        # outputs are sliced off below.
         o_c = jnp.concatenate(
             [o_c, jnp.zeros((pad_c,) + o_c.shape[1:], o_c.dtype)])
         d_c = jnp.concatenate(
@@ -237,16 +242,32 @@ def _union_cull(clusters: Clusters, origins, dirs, t_max, chunk: int,
     ns = (nc + pad_c) // cb
     blocked = tuple(a.reshape((ns, cb) + a.shape[1:])
                     for a in (o_c, d_c, t_c))
-    ids, valid, t_bound, dropped = jax.lax.map(jax.vmap(body), blocked)
-    ids = ids.reshape((ns * cb,) + ids.shape[2:])[:nc]
-    valid = valid.reshape((ns * cb,) + valid.shape[2:])[:nc]
+    ids, keep, t_bound, sc_dropped = jax.lax.map(jax.vmap(body), blocked)
+    pool = ids.shape[-1]
+    ids = ids.reshape(-1, pool)[:nc]
+    keep = keep.reshape(-1, pool)[:nc]
     t_bound = t_bound.reshape(ns * cb, chunk)[:nc]
-    dropped = jnp.sum(dropped.reshape(-1)[:nc])
-    # Invalid slots may carry padding member ids >= K; clamp so the
-    # kernel's scalar-prefetched DMA index map stays in bounds (valid
-    # gates all compute on those slots).
-    ids = jnp.clip(ids.reshape(-1), 0, k - 1)
-    return ids, valid.reshape(-1), t_bound, dropped, nc
+    sc_dropped = jnp.sum(sc_dropped.reshape(-1)[:nc])
+
+    cap = max(min(nc * avg_items, _MAX_ITEMS), 1)
+    counts = jnp.sum(keep, axis=1, dtype=jnp.int32)
+    chunk_of = jnp.broadcast_to(
+        jnp.arange(nc, dtype=jnp.int32)[:, None], (nc, pool))
+    flat_keep = keep.reshape(-1)
+    payload = (chunk_of * kpad + ids).reshape(-1)
+    rank = jnp.cumsum(flat_keep.astype(jnp.int32)) - 1
+    pos = jnp.where(flat_keep, rank, cap)
+    # Tail filler: the LAST chunk's pad row — keeps the item->chunk map
+    # monotone so out-block revisits stay contiguous.
+    items = jnp.full((cap,), (nc - 1) * kpad + k, jnp.int32) \
+        .at[pos].set(payload, mode="drop")
+    # Chunks whose items spill past the capacity are fully unproven.
+    ends = jnp.cumsum(counts)
+    capped = ends > cap
+    t_bound = jnp.where(capped[:, None], 0.0, t_bound)
+    counts = jnp.where(capped, 0, counts)
+    dropped = sc_dropped + jnp.maximum(ends[-1] - cap, 0)
+    return items, counts, t_bound, dropped, nc
 
 
 def _pack_rays(origins, dirs, t_max, chunk: int):
@@ -265,25 +286,34 @@ def _pack_rays(origins, dirs, t_max, chunk: int):
 
 
 def _padded_tables(clusters: Clusters):
-    """(K, 1, W) triangle planes (W = 9C padded to a lane multiple),
-    (K, 1, 8) AABB rows and (K, 1, G*6) sub-box rows for per-step DMA
-    blocks."""
+    """(K+1, 1, W) triangle planes (W = 9C padded to a lane multiple),
+    (K+1, 1, 8) AABB rows and (K+1, 1, G*6) sub-box rows for per-step DMA
+    blocks. Row K is the INERT PAD ROW addressed by tail-filler work items
+    (cluster id == K): its NaN AABB fails every slab comparison and its
+    zero triangle planes are degenerate (det == 0), so it can never
+    contribute a hit."""
     k, w9 = clusters.planes.shape
     w = -(-w9 // _LANE) * _LANE
     tab = clusters.planes
     if w != w9:
         tab = jnp.concatenate(
             [tab, jnp.zeros((k, w - w9), tab.dtype)], axis=1)
-    tab = tab.reshape(k, 1, w)
+    tab = jnp.concatenate([tab, jnp.zeros((1, w), tab.dtype)])
+    tab = tab.reshape(k + 1, 1, w)
     aabb = jnp.concatenate(
         [clusters.aabb_lo, clusters.aabb_hi,
-         jnp.zeros((k, 2), jnp.float32)], axis=1).reshape(k, 1, 8)
+         jnp.zeros((k, 2), jnp.float32)], axis=1)
+    aabb = jnp.concatenate(
+        [aabb, jnp.concatenate([jnp.full((1, 6), jnp.nan),
+                                jnp.zeros((1, 2), jnp.float32)], axis=1)])
+    aabb = aabb.reshape(k + 1, 1, 8)
     if clusters.subboxes is not None:
-        sub = clusters.subboxes.reshape(k, 1, -1)
+        sub = clusters.subboxes.reshape(k, -1)
     else:
         # Degenerate single sub-box = the cluster AABB (old pytrees).
-        sub = jnp.concatenate([clusters.aabb_lo, clusters.aabb_hi],
-                              axis=1).reshape(k, 1, 6)
+        sub = jnp.concatenate([clusters.aabb_lo, clusters.aabb_hi], axis=1)
+    sub = jnp.concatenate([sub, jnp.full((1, sub.shape[1]), jnp.nan)])
+    sub = sub.reshape(k + 1, 1, -1)
     return tab, aabb, sub
 
 
@@ -319,74 +349,99 @@ def _tri_scalars(tab_ref, t: int, c: int):
     return [tab_ref[0, 0, k * c + t] for k in range(9)]
 
 
-# SMEM budget for the scalar-prefetched (ids, valid) pair. Measured on
+# SMEM budget for the scalar-prefetched items array. Measured on
 # v5e/axon: ~0.78 MB compiles and runs, ~1.5 MB crashes the TPU compiler —
 # so megabatches are sliced to keep each pallas_call's prefetch under this.
 _MAX_PREFETCH_BYTES = 384 * 1024
 _MIN_SLICE_CHUNKS = 64
 
 
-def _dead_ray_rows(nrows: int, n_planes: int = 7):
-    z = jnp.zeros((n_planes, nrows, _LANE), jnp.float32)
-    z = z.at[5].set(1.0)    # dz = 1 (unit direction)
-    z = z.at[6].set(-1.0)   # t_max = -1: fails every slab test
-    return z
-
-
-def _sliced_call(call_one, nc: int, m: int, chunk_rows: int,
-                 ids, valid, rays):
-    """Run call_one(ids, valid, rays, nc_slice) over chunk slices bounded
-    by the SMEM prefetch budget, concatenating outputs along rows. Output
-    rows beyond the real ray count are padding (callers trim). rays may
-    carry extra planes beyond the 7 ray components (e.g. primitive ids for
-    the attribute pass)."""
-    n_planes = rays.shape[0]
-    max_chunks = max(_MIN_SLICE_CHUNKS, _MAX_PREFETCH_BYTES // (m * 8))
-    if nc <= max_chunks:
-        return call_one(ids, valid, rays, nc)
-    ns = -(-nc // max_chunks)
-    pad = ns * max_chunks - nc
+def _slice_rays(pass_one, origins, dirs, t_max, chunk: int, avg_items: int):
+    """Run pass_one(origins, dirs, t_max) over ray slices bounded so each
+    slice's item capacity fits the SMEM prefetch budget; concatenates the
+    per-slice outputs along the ray axis (callers trim to the real ray
+    count). The slices are independent by construction: chunks never span
+    a slice boundary, and per-chunk state (union, out block) is local."""
+    r = dirs.shape[0]
+    slice_chunks = max(_MIN_SLICE_CHUNKS,
+                       _MAX_PREFETCH_BYTES // max(avg_items * 4, 1))
+    nc_total = -(-r // chunk)
+    if nc_total <= slice_chunks:
+        return pass_one(origins, dirs, t_max)
+    rays_per = slice_chunks * chunk
+    ns = -(-r // rays_per)
+    pad = ns * rays_per - r
     if pad:
-        ids = jnp.concatenate([ids, jnp.zeros((pad * m,), ids.dtype)])
-        valid = jnp.concatenate([valid, jnp.zeros((pad * m,), valid.dtype)])
-        rays = jnp.concatenate(
-            [rays, _dead_ray_rows(pad * chunk_rows, n_planes)], axis=1)
-    ids = ids.reshape(ns, max_chunks * m)
-    valid = valid.reshape(ns, max_chunks * m)
-    rays = rays.reshape(n_planes, ns, max_chunks * chunk_rows, _LANE) \
-        .transpose(1, 0, 2, 3)
+        origins = jnp.concatenate(
+            [origins, jnp.zeros((pad, 3), jnp.float32)])
+        dirs = jnp.concatenate([dirs, jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (pad, 3))])
+        t_max = jnp.concatenate(
+            [t_max, jnp.full((pad,), -1.0, jnp.float32)])
     outs = jax.lax.map(
-        lambda args: call_one(args[0], args[1], args[2], max_chunks),
-        (ids, valid, rays))
+        lambda a: pass_one(a[0], a[1], a[2]),
+        (origins.reshape(ns, rays_per, 3), dirs.reshape(ns, rays_per, 3),
+         t_max.reshape(ns, rays_per)))
     return jax.tree.map(
-        lambda o: o.reshape((-1,) + o.shape[2:]), outs)
+        lambda o: o.reshape((ns * o.shape[1],) + o.shape[2:]), outs)
+
+
+def _first_of_chunk(items_ref, it, kpad: int):
+    """Chunk-major monotone items: a step starts a new out block exactly
+    when its chunk id differs from the previous item's (or it == 0)."""
+    chunk_id = items_ref[it] // kpad
+    prev = items_ref[jnp.maximum(it - 1, 0)]
+    return chunk_id, (it == 0) | (prev // kpad != chunk_id)
+
+
+def _visited_mask(counts, chunk: int):
+    """Per-ray bool: the ray's chunk produced >= 1 work item (its out
+    block was initialized by the kernel). counts == 0 covers BOTH
+    never-visited chunks (undefined output rows) and capacity-capped
+    chunks (partial coverage) — both must be discarded."""
+    return jnp.repeat(counts > 0, chunk)
 
 
 def _anyhit_pass(clusters: Clusters, origins, dirs, t_max,
-                 chunk_rows: int, m_budget: int,
+                 chunk_rows: int, avg_items: int,
                  t_min: float, interpret: bool, sc_budget: int):
-    """One any-hit pass. Returns (occluded bool (R,), unproven bool (R,)):
-    unproven marks live rays whose un-occluded result lacks the exactness
-    guarantee (a budget-dropped cluster could still intersect their
-    segment); found occlusions are always definite."""
+    """One any-hit pass over the work-item grid. Returns (occluded bool
+    (R,), unproven bool (R,)): unproven marks live rays whose un-occluded
+    result lacks the exactness guarantee (a dropped supercluster or the
+    item-capacity cap could hide an intersection); found occlusions are
+    always definite."""
     origins = jnp.broadcast_to(origins, dirs.shape)
     t_max = jnp.broadcast_to(jnp.asarray(t_max), dirs.shape[:1])
     chunk = chunk_rows * _LANE
-    m = min(m_budget, clusters.cluster_count)
+    r = dirs.shape[0]
+    occ, unp = _slice_rays(
+        lambda o, d, t: _anyhit_pass_one(clusters, o, d, t, chunk_rows,
+                                         avg_items, t_min, interpret,
+                                         sc_budget),
+        origins, dirs, t_max, chunk, avg_items)
+    return occ[:r], unp[:r]
+
+
+def _anyhit_pass_one(clusters: Clusters, origins, dirs, t_max,
+                     chunk_rows: int, avg_items: int,
+                     t_min: float, interpret: bool, sc_budget: int):
+    chunk = chunk_rows * _LANE
+    k = clusters.cluster_count
+    kpad = k + 1
     c = clusters.cluster_size
 
-    ids, valid, t_bound, _, nc = _union_cull(clusters, origins, dirs,
-                                             t_max, chunk, m,
-                                             sc_budget=sc_budget)
+    items, counts, t_bound, _, nc = _union_items(
+        clusters, origins, dirs, t_max, chunk, avg_items,
+        sc_budget=sc_budget)
+    cap = items.shape[0]
     rays, r = _pack_rays(origins, dirs, t_max, chunk)
     tab, aabb, _ = _padded_tables(clusters)
-    nr = rays.shape[1]
 
-    def kernel(ids_ref, valid_ref, rays_ref, tab_ref, aabb_ref, out_ref):
-        i = pl.program_id(0)
-        mm = pl.program_id(1)
+    def kernel(items_ref, rays_ref, tab_ref, aabb_ref, out_ref):
+        it = pl.program_id(0)
+        _, first = _first_of_chunk(items_ref, it, kpad)
 
-        @pl.when(mm == 0)
+        @pl.when(first)
         def _():
             out_ref[...] = jnp.zeros_like(out_ref)
 
@@ -395,9 +450,8 @@ def _anyhit_pass(clusters: Clusters, origins, dirs, t_max,
         tmax = rays_ref[6]
         mask, _ = _ray_slab(aabb_ref, ox, oy, oz, dx, dy, dz, tmax)
         work = mask & (out_ref[...] < 0.5)
-        is_valid = valid_ref[i * m + mm] > 0
 
-        @pl.when(is_valid & jnp.any(work))
+        @pl.when(jnp.any(work))
         def _():
             # Flat triangle loop: sub-box gating was MEASURED SLOWER here
             # (+21 ms at the flagship shadow megabatch) — any-hit rays
@@ -427,42 +481,42 @@ def _anyhit_pass(clusters: Clusters, origins, dirs, t_max,
                 occ = occ | hit
             out_ref[...] = jnp.where(work & occ, 1.0, out_ref[...])
 
-    def call_one(ids_s, valid_s, rays_s, nc_s):
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(nc_s, m),
-            in_specs=[
-                pl.BlockSpec((7, chunk_rows, _LANE),
-                             lambda i, mm, ids, valid: (0, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, tab.shape[2]),
-                             lambda i, mm, ids, valid:
-                             (ids[i * m + mm], 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 8),
-                             lambda i, mm, ids, valid:
-                             (ids[i * m + mm], 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((chunk_rows, _LANE),
-                                   lambda i, mm, ids, valid: (i, 0),
-                                   memory_space=pltpu.VMEM),
-        )
-        return pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct((nc_s * chunk_rows, _LANE),
-                                           jnp.float32),
-            grid_spec=grid_spec,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
-                dimension_semantics=("parallel", "arbitrary")),
-            interpret=interpret,
-        )(ids_s, valid_s, rays_s, tab, aabb)
-
-    out = _sliced_call(call_one, nc, m, chunk_rows, ids, valid, rays)
-    occluded = out.reshape(-1)[:nc * chunk] > 0.5
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cap,),
+        in_specs=[
+            pl.BlockSpec((7, chunk_rows, _LANE),
+                         lambda it, items: (0, items[it] // kpad, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tab.shape[2]),
+                         lambda it, items: (items[it] % kpad, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8),
+                         lambda it, items: (items[it] % kpad, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk_rows, _LANE),
+                               lambda it, items: (items[it] // kpad, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((nc * chunk_rows, _LANE),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(items, rays, tab, aabb)
+    # counts == 0 chunks carry undefined (never-visited) or partial
+    # (capacity-capped) output rows; both are discarded and re-proven via
+    # t_bound == 0 (capped) or remain provably empty-union (t_bound inf).
+    occluded = (out.reshape(-1)[:nc * chunk] > 0.5) \
+        & _visited_mask(counts, chunk)
     # A found occlusion is definite; an UN-occluded ray is only guaranteed
-    # when no dropped cluster could intersect its [t_min, t_max] segment.
+    # when no dropped supercluster could intersect its [t_min, t_max]
+    # segment and its chunk's items fit the capacity.
     tmax_flat = rays.reshape(7, -1)[6]
     live = (jnp.arange(nc * chunk) < r) & (tmax_flat >= 0.0)
     bound = t_bound.reshape(-1)
@@ -470,19 +524,20 @@ def _anyhit_pass(clusters: Clusters, origins, dirs, t_max,
     return occluded[:r], unproven[:r]
 
 
-# Re-trace pass geometry: the re-trace gathers WHOLE first-pass chunks
-# (the nc // _RETRACE_CHUNK_FRACTION chunks with the most unproven rays,
-# proven rays deadened in place via t_max = -1) and re-traces them split
-# into _RETRACE_CHUNK_DIV x smaller sub-chunks with _RETRACE_BUDGET_SCALE x
-# budgets. Chunk-granular gathering preserves the spatial coherence the
-# union cull depends on — compacting unproven RAYS instead packs rays from
-# different tiles/lights into one chunk and its union is WORSE than pass
-# 1's (measured: residuals barely moved). Scaling only the budgets without
-# shrinking chunks costs quadratically in the rank-select pool (measured
-# 3x frame time at the flagship config).
-_RETRACE_CHUNK_FRACTION = 4
-_RETRACE_CHUNK_DIV = 4
+# Re-trace geometry: unproven rays are COMPACTED (order-preserving, so
+# Morton-tile neighbors stay neighbors) into at most r//_RETRACE_RAY_FRAC
+# rays and re-traced EXHAUSTIVELY — supercluster budget = all (no drop
+# source exists, so the result is exact by construction; with the
+# fixed-budget grid this was unaffordable, but the work-item grid's step
+# count tracks the real unions and the dense member slab only runs on the
+# compacted rays). Residuals can then come only from the two static
+# capacities (ray compaction, item cap) — honest counters, near-impossible
+# to hit with sane budgets.
+_RETRACE_RAY_FRAC = 8
+_RETRACE_ROWS = 8           # 1024-ray re-trace chunks (tighter unions)
+_RETRACE_MIN_ITEMS = 192    # floor for the re-trace per-chunk item average
 _RETRACE_BUDGET_SCALE = 2
+_EXHAUSTIVE_SC = 1 << 20    # clamped to the supercluster count
 
 
 def _compact_indices(mask, capacity: int):
@@ -498,25 +553,17 @@ def _compact_indices(mask, capacity: int):
     return idx, count
 
 
-def _retrace_chunk_gather(unproven, r: int, chunk: int):
-    """Pick the chunks with the most unproven rays (fixed count =
-    ceil(nc / _RETRACE_CHUNK_FRACTION)) and return their rays' indices in
-    chunk-preserving order.
+def _retrace_select(unproven, r: int):
+    """Order-preserving compaction of unproven ray indices (Morton-tile
+    neighbors stay neighbors, so re-trace chunks keep spatial coherence).
 
-    Returns (ray_idx (nc2*chunk,) i32 clamped to [0, r-1], sel_unproven
-    bool same shape, covered () = unproven rays inside selected chunks)."""
-    nc = -(-r // chunk)
-    pad = nc * chunk - r
-    unp_p = jnp.concatenate(
-        [unproven, jnp.zeros((pad,), bool)]) if pad else unproven
-    counts = jnp.sum(unp_p.reshape(nc, chunk), axis=1, dtype=jnp.int32)
-    nc2 = max(1, -(-nc // _RETRACE_CHUNK_FRACTION))
-    vals, cids = jax.lax.top_k(counts, min(nc2, nc))
-    ray_idx = (cids[:, None] * chunk
-               + jnp.arange(chunk, dtype=jnp.int32)[None, :]).reshape(-1)
-    sel_unp = unp_p[ray_idx]
-    ray_idx = jnp.minimum(ray_idx, r - 1)  # padded tail rays (sel_unp=False)
-    return ray_idx, sel_unp, jnp.sum(vals, dtype=jnp.int32)
+    Returns (idx (cap,) i32, live (cap,) bool, missed () = unproven rays
+    beyond the static capacity — an honest residual)."""
+    cap = min(r, max(2048, r // _RETRACE_RAY_FRAC))
+    idx, count = _compact_indices(unproven, cap)
+    live = jnp.arange(cap, dtype=jnp.int32) < count
+    missed = jnp.sum(unproven, dtype=jnp.int32) - count
+    return idx, live, missed
 
 
 def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
@@ -528,10 +575,11 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
 
     Exactness re-trace (the reference's ray queries are exact, period —
     shading_pass.frag.glsl:120-138): when pass 1 leaves unproven rays
-    (cluster budget overflow), they are compacted and re-traced with
-    smaller chunks and `retrace_factor`x budgets, under lax.cond so exact
-    frames pay nothing. overflow counts rays still unproven after the
-    re-trace (capacity-truncated rays included)."""
+    (supercluster drops / item-capacity caps), they are compacted and
+    re-traced EXHAUSTIVELY (all superclusters, `retrace_factor`-scaled
+    item capacity), under lax.cond so exact frames pay nothing. overflow
+    counts rays still unproven after the re-trace — only the two static
+    re-trace capacities can contribute."""
     origins = jnp.broadcast_to(origins, dirs.shape)
     occluded, unproven = _anyhit_pass(clusters, origins, dirs, t_max,
                                       chunk_rows, m_budget, t_min,
@@ -540,24 +588,20 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
         return occluded, jnp.sum(unproven, dtype=jnp.int32)
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max), dirs.shape[:1])
     r = dirs.shape[0]
-    chunk = chunk_rows * _LANE
-    # Mosaic needs the ray-block sublane dim divisible by 8; tiny chunks
-    # (interpret-mode tests) are exempt because the block equals the array.
-    rows2 = chunk_rows if chunk_rows <= 8 \
-        else max(8, chunk_rows // _RETRACE_CHUNK_DIV)
+    rows2 = min(chunk_rows, _RETRACE_ROWS)
+    avg2 = max(m_budget * retrace_factor, _RETRACE_MIN_ITEMS)
 
     def do_retrace(_):
-        idx, sel_unp, covered = _retrace_chunk_gather(unproven, r, chunk)
-        t2 = jnp.where(sel_unp, t_max_b[idx], -1.0)
+        idx, live2, missed = _retrace_select(unproven, r)
+        t2 = jnp.where(live2, t_max_b[idx], -1.0)
         occ2, unp2 = _anyhit_pass(
             clusters, origins[idx], dirs[idx], t2, rows2,
-            m_budget * retrace_factor, t_min, interpret,
-            sc_budget * retrace_factor)
-        hit2 = (occ2 & sel_unp).astype(jnp.int32)
+            avg2, t_min, interpret, _EXHAUSTIVE_SC)
+        hit2 = (occ2 & live2).astype(jnp.int32)
+        scatter_idx = jnp.where(live2, idx, jnp.int32(r))
         merged = occluded | (jnp.zeros((r,), jnp.int32)
-                             .at[idx].add(hit2, mode="drop") > 0)
-        residual = jnp.sum(unproven, dtype=jnp.int32) - covered \
-            + jnp.sum(unp2 & sel_unp, dtype=jnp.int32)
+                             .at[scatter_idx].add(hit2, mode="drop") > 0)
+        residual = missed + jnp.sum(unp2 & live2, dtype=jnp.int32)
         return merged, residual
 
     def skip(_):
@@ -567,34 +611,54 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
 
 
 def _closest_pass(clusters: Clusters, origins, dirs, t_max,
-                  chunk_rows: int, m_budget: int,
+                  chunk_rows: int, avg_items: int,
                   t_min: float, interpret: bool, sc_budget: int):
-    """One closest-hit pass. t_max: (R,) with -1 marking dead rays (the
-    re-trace pass deadens already-proven rays this way). Returns
-    (prim uint32 (R,), t (R,), unproven bool (R,)): unproven marks live
-    rays whose best t exceeds the chunk's first-dropped-cluster entry
-    bound — only those could be wrong when budgets overflow
-    (front-to-back selection makes near hits provably exact)."""
+    """One closest-hit pass over ray slices (SMEM-bounded). t_max: (R,)
+    with -1 marking dead rays (the re-trace pass deadens already-proven
+    rays this way). Returns (prim uint32 (R,), t (R,), unproven bool (R,),
+    bound (R,)): unproven marks live rays whose best t exceeds the per-ray
+    first-dropped-supercluster entry bound (0 for capacity-capped chunks)
+    — only those could be wrong (front-to-back supercluster selection
+    makes near hits provably exact)."""
     origins = jnp.broadcast_to(origins, dirs.shape)
     chunk = chunk_rows * _LANE
-    m = min(m_budget, clusters.cluster_count)
+    r = dirs.shape[0]
+    prim, t, unp, bound = _slice_rays(
+        lambda o, d, tm: _closest_pass_one(clusters, o, d, tm, chunk_rows,
+                                           avg_items, t_min, interpret,
+                                           sc_budget)[:4],
+        origins, dirs, t_max, chunk, avg_items)
+    return prim[:r], t[:r], unp[:r], bound[:r]
+
+
+def _closest_pass_one(clusters: Clusters, origins, dirs, t_max,
+                      chunk_rows: int, avg_items: int,
+                      t_min: float, interpret: bool, sc_budget: int):
+    """Single-slice closest hit. Also returns the cull artifacts
+    (items, counts, rays, nc) so the attribute pass can reuse the SAME
+    work-item coverage (its per-ray selected primitive is then covered by
+    construction)."""
+    chunk = chunk_rows * _LANE
+    k = clusters.cluster_count
+    kpad = k + 1
     c = clusters.cluster_size
 
-    ids, valid, t_bound, _, nc = _union_cull(clusters, origins, dirs,
-                                             t_max, chunk, m,
-                                             sc_budget=sc_budget)
+    items, counts, t_bound, _, nc = _union_items(
+        clusters, origins, dirs, t_max, chunk, avg_items,
+        sc_budget=sc_budget)
+    cap = items.shape[0]
     rays, r = _pack_rays(origins, dirs, t_max, chunk)
     tab, aabb, sub = _padded_tables(clusters)
     n_sub = sub.shape[2] // 6
     g_sub = -(-c // n_sub)
-    nr = rays.shape[1]
 
-    def kernel(ids_ref, valid_ref, rays_ref, tab_ref, aabb_ref, sub_ref,
+    def kernel(items_ref, rays_ref, tab_ref, aabb_ref, sub_ref,
                t_ref, prim_ref):
-        i = pl.program_id(0)
-        mm = pl.program_id(1)
+        it = pl.program_id(0)
+        chunk_id, first = _first_of_chunk(items_ref, it, kpad)
+        cluster_id = items_ref[it] % kpad
 
-        @pl.when(mm == 0)
+        @pl.when(first)
         def _():
             t_ref[...] = jnp.full_like(t_ref, jnp.inf)
             prim_ref[...] = jnp.full_like(prim_ref, -1)
@@ -605,10 +669,8 @@ def _closest_pass(clusters: Clusters, origins, dirs, t_max,
         mask, t_near = _ray_slab(aabb_ref, ox, oy, oz, dx, dy, dz,
                                  rays_ref[6])
         work = mask & (t_near <= best_t)
-        is_valid = valid_ref[i * m + mm] > 0
-        cluster_id = ids_ref[i * m + mm]
 
-        @pl.when(is_valid & jnp.any(work))
+        @pl.when(jnp.any(work))
         def _():
             for gg in range(n_sub):
                 slo = [sub_ref[0, 0, gg * 6 + cc] for cc in range(3)]
@@ -648,63 +710,58 @@ def _closest_pass(clusters: Clusters, origins, dirs, t_max,
                     t_ref[...] = bt
                     prim_ref[...] = bp
 
-    def call_one(ids_s, valid_s, rays_s, nc_s):
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(nc_s, m),
-            in_specs=[
-                pl.BlockSpec((7, chunk_rows, _LANE),
-                             lambda i, mm, ids, valid: (0, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, tab.shape[2]),
-                             lambda i, mm, ids, valid:
-                             (ids[i * m + mm], 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 8),
-                             lambda i, mm, ids, valid:
-                             (ids[i * m + mm], 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, sub.shape[2]),
-                             lambda i, mm, ids, valid:
-                             (ids[i * m + mm], 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((chunk_rows, _LANE),
-                             lambda i, mm, ids, valid: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((chunk_rows, _LANE),
-                             lambda i, mm, ids, valid: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-        )
-        return pl.pallas_call(
-            kernel,
-            out_shape=[jax.ShapeDtypeStruct((nc_s * chunk_rows, _LANE),
-                                            jnp.float32),
-                       jax.ShapeDtypeStruct((nc_s * chunk_rows, _LANE),
-                                            jnp.int32)],
-            grid_spec=grid_spec,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
-                dimension_semantics=("parallel", "arbitrary")),
-            interpret=interpret,
-        )(ids_s, valid_s, rays_s, tab, aabb, sub)
-
-    t_out, prim_out = _sliced_call(call_one, nc, m, chunk_rows,
-                                   ids, valid, rays)
-    t_flat = t_out.reshape(-1)[:nc * chunk]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cap,),
+        in_specs=[
+            pl.BlockSpec((7, chunk_rows, _LANE),
+                         lambda it, items: (0, items[it] // kpad, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tab.shape[2]),
+                         lambda it, items: (items[it] % kpad, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8),
+                         lambda it, items: (items[it] % kpad, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, sub.shape[2]),
+                         lambda it, items: (items[it] % kpad, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk_rows, _LANE),
+                         lambda it, items: (items[it] // kpad, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk_rows, _LANE),
+                         lambda it, items: (items[it] // kpad, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    t_out, prim_out = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((nc * chunk_rows, _LANE),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((nc * chunk_rows, _LANE),
+                                        jnp.int32)],
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(items, rays, tab, aabb, sub)
+    visited = _visited_mask(counts, chunk)
+    t_flat = jnp.where(visited, t_out.reshape(-1)[:nc * chunk], jnp.inf)
     tmax_flat = rays.reshape(7, -1)[6]
     live = (jnp.arange(nc * chunk) < r) & (tmax_flat >= 0.0)
     bound = jnp.where(live, t_bound.reshape(-1), jnp.inf)
     unproven = live & (t_flat > bound)
     t_out = t_flat[:r]
-    prim_out = prim_out.reshape(-1)[:r]
+    prim_out = jnp.where(visited, prim_out.reshape(-1)[:nc * chunk],
+                         -1)[:r]
     prim_out = jnp.where(jnp.isfinite(t_out), prim_out.astype(jnp.uint32),
                          INVALID)
     # cull artifacts let the attribute-fetch pass reuse this pass's
-    # chunking/union instead of re-culling.
-    cull = (ids, valid, rays, nc)
+    # chunking/work items instead of re-culling.
+    cull = (items, counts, rays, nc)
     return prim_out, t_out, unproven[:r], bound[:r], cull
 
 
@@ -723,39 +780,34 @@ def trace_closest_fused(clusters: Clusters, origins, dirs,
     passes); `uncertain` counts rays still beyond the re-trace bound."""
     origins = jnp.broadcast_to(origins, dirs.shape)
     t_live = jnp.full(dirs.shape[:1], jnp.inf, jnp.float32)
-    prim1, t1, unp1, _, _ = _closest_pass(clusters, origins, dirs, t_live,
-                                          chunk_rows, m_budget, t_min,
-                                          interpret, sc_budget)
+    prim1, t1, unp1, _ = _closest_pass(clusters, origins, dirs, t_live,
+                                       chunk_rows, m_budget, t_min,
+                                       interpret, sc_budget)
     if retrace_factor <= 1:
         return prim1, t1, jnp.sum(unp1, dtype=jnp.int32)
     r = dirs.shape[0]
-    chunk = chunk_rows * _LANE
-    # Mosaic needs the ray-block sublane dim divisible by 8; tiny chunks
-    # (interpret-mode tests) are exempt because the block equals the array.
-    rows2 = chunk_rows if chunk_rows <= 8 \
-        else max(8, chunk_rows // _RETRACE_CHUNK_DIV)
+    rows2 = min(chunk_rows, _RETRACE_ROWS)
+    avg2 = max(m_budget * retrace_factor, _RETRACE_MIN_ITEMS)
 
     def do_retrace(_):
-        idx, sel_unp, covered = _retrace_chunk_gather(unp1, r, chunk)
-        t2_max = jnp.where(sel_unp, jnp.inf, -1.0)
-        prim2, t2, _, bound2, _ = _closest_pass(
+        idx, live2, missed = _retrace_select(unp1, r)
+        t2_max = jnp.where(live2, jnp.inf, -1.0)
+        prim2, t2, unp2, _ = _closest_pass(
             clusters, origins[idx], dirs[idx], t2_max, rows2,
-            m_budget * retrace_factor, t_min, interpret,
-            sc_budget * retrace_factor)
+            avg2, t_min, interpret, _EXHAUSTIVE_SC)
         t1_sel = t1[idx]
-        better = sel_unp & (t2 < t1_sel)
+        better = live2 & (t2 < t1_sel)
         t_sel = jnp.where(better, t2, t1_sel)
         prim_sel = jnp.where(better, prim2, prim1[idx])
         # Rays that were not selected for pass 2 (dead padding / proven)
         # must not scatter: route them out of bounds, mode="drop".
-        scatter_idx = jnp.where(sel_unp, idx, jnp.int32(r))
+        scatter_idx = jnp.where(live2, idx, jnp.int32(r))
         t = t1.at[scatter_idx].set(t_sel, mode="drop")
         prim = prim1.at[scatter_idx].set(prim_sel, mode="drop")
-        # A ray is proven once its merged best t is at or below the
-        # re-trace pass's first-dropped-cluster bound; rays in unselected
-        # chunks stay unproven.
-        residual = jnp.sum(unp1, dtype=jnp.int32) - covered \
-            + jnp.sum(sel_unp & (t_sel > bound2), dtype=jnp.int32)
+        # The exhaustive re-trace has no drop source; only its item
+        # capacity (unp2) or the ray-compaction capacity (missed) can
+        # leave a ray unproven.
+        residual = missed + jnp.sum(unp2 & live2, dtype=jnp.int32)
         return prim, t, residual
 
     def skip(_):
@@ -786,14 +838,19 @@ ATTR_PLANES = 18
 _ACC_PLANES = 26
 
 
+
+
 def _padded_attr_table(clusters: Clusters):
+    """(K+1, 1, W) per-cluster attribute rows; row K is the zero pad row
+    for tail-filler work items (never selected: prim ids are < K*C)."""
     k, w16 = clusters.attrs.shape
     w = -(-w16 // _LANE) * _LANE
     tab = clusters.attrs
     if w != w16:
         tab = jnp.concatenate(
             [tab, jnp.zeros((k, w - w16), tab.dtype)], axis=1)
-    return tab.reshape(k, 1, w)
+    tab = jnp.concatenate([tab, jnp.zeros((1, w), tab.dtype)])
+    return tab.reshape(k + 1, 1, w)
 
 
 def _cross_planes(a, b):
@@ -806,39 +863,40 @@ def _dot_planes(a, b):
     return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
 
 
-def _attr_pass(clusters: Clusters, ids, valid, rays8, nc: int,
-               chunk_rows: int, m: int, ray_d_derivs, interpret: bool):
-    """Attribute fetch over the SAME (chunk, m) grid and cull output as the
-    closest-hit pass. rays8: the trace's ray planes + plane 7 holding each
-    ray's best primitive id as float (-1 for miss). ray_d_derivs: (2, 3)
-    d(ray_direction)/d(pixel_{x,y}) rows. Returns (NR*chunk, ATTR_PLANES).
-
-    Per (chunk, cluster) step the kernel selects the 25 triangle scalars of
-    each ray's best hit into a VMEM accumulator (cheap where-loop); at the
-    chunk's last step it runs the full re-intersection / interpolation /
-    tangent-frame math ONCE per ray (shading_pass.frag.glsl:738-812) and
-    writes the attribute planes."""
+def _attr_pass_one(clusters: Clusters, items, counts, rays8, nc: int,
+                   chunk_rows: int, interpret: bool):
+    """Attribute select over the SAME work items as the closest-hit pass.
+    rays8: the trace's ray planes + plane 7 holding each ray's best
+    primitive id as float (-1 for miss). Returns the raw accumulator
+    (_ACC_PLANES, NC*chunk) — per ray, the 25 vertex/attribute scalars of
+    its best-hit triangle plus a found flag, selected in VMEM from the
+    per-cluster DMA rows (the pass-1 primitive is covered by construction
+    because the items are identical). The re-intersection / interpolation
+    / tangent math runs afterwards in XLA (_attrs_finalize): it is pure
+    elementwise math, which XLA runs at full VPU rate — only the GATHER
+    had to move into the kernel."""
+    chunk = chunk_rows * _LANE
+    k = clusters.cluster_count
+    kpad = k + 1
     c = clusters.cluster_size
+    cap = items.shape[0]
     tab, _, _ = _padded_tables(clusters)
     atab = _padded_attr_table(clusters)
-    dcam = jnp.asarray(ray_d_derivs, jnp.float32).reshape(2, 3)
 
-    def kernel(ids_ref, valid_ref, rays_ref, dcam_ref, tab_ref, attr_ref,
-               out_ref, acc_ref):
-        i = pl.program_id(0)
-        mm = pl.program_id(1)
+    def kernel(items_ref, rays_ref, tab_ref, attr_ref, acc_ref):
+        it = pl.program_id(0)
+        chunk_id, first = _first_of_chunk(items_ref, it, kpad)
+        cid = items_ref[it] % kpad
 
-        @pl.when(mm == 0)
+        @pl.when(first)
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
         prim = rays_ref[7]
-        cid = ids_ref[i * m + mm]
         base = (cid * c).astype(jnp.float32)
         sel_any = (prim >= base) & (prim < base + c)
-        is_valid = valid_ref[i * m + mm] > 0
 
-        @pl.when(is_valid & jnp.any(sel_any))
+        @pl.when(jnp.any(sel_any))
         def _():
             # Gate each 8-triangle block on whether any ray's best hit
             # falls in its id range (typically 1-2 of 8 blocks fire).
@@ -861,117 +919,108 @@ def _attr_pass(clusters: Clusters, ids, valid, rays8, nc: int,
                                 for scv, v in zip(sc, vals)]
                     acc_ref[...] = jnp.stack(vals)
 
-        @pl.when(mm == m - 1)
-        def _():
-            a = acc_ref[...]
-            v0 = (a[0], a[1], a[2])
-            e1 = (a[3], a[4], a[5])
-            e2 = (a[6], a[7], a[8])
-            n0 = (a[9], a[10], a[11])
-            n1 = (a[12], a[13], a[14])
-            n2 = (a[15], a[16], a[17])
-            uv0 = (a[18], a[19])
-            uv1 = (a[20], a[21])
-            uv2 = (a[22], a[23])
-            mat = a[24]
-            found = a[25]
-            o = (rays_ref[0], rays_ref[1], rays_ref[2])
-            d = (rays_ref[3], rays_ref[4], rays_ref[5])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cap,),
+        in_specs=[
+            pl.BlockSpec((8, chunk_rows, _LANE),
+                         lambda it, items: (0, items[it] // kpad, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tab.shape[2]),
+                         lambda it, items: (items[it] % kpad, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, atab.shape[2]),
+                         lambda it, items: (items[it] % kpad, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_ACC_PLANES, chunk_rows, _LANE),
+                               lambda it, items: (0, items[it] // kpad, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    acc = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (_ACC_PLANES, nc * chunk_rows, _LANE), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(items, rays8, tab, atab)
+    return acc.reshape(_ACC_PLANES, nc * chunk)
 
-            # Barycentrics + screen-space derivatives
-            # (ops/intersect.py ray_triangle_barycentrics, glsl:738-766).
-            rce1 = _cross_planes(d, e2)
-            det = _dot_planes(e1, rce1)
-            det_ok = jnp.abs(det) > 1e-30
-            rcp = 1.0 / jnp.where(det_ok, det, 1.0)
-            r0 = tuple(o[j] - v0[j] for j in range(3))
-            det0 = _dot_planes(r0, rce1)
-            b1 = rcp * det0
-            e0c0 = _cross_planes(e1, r0)
-            det1 = _dot_planes(d, e0c0)
-            b2 = -rcp * det1
-            b0 = 1.0 - (b1 + b2)
-            duv = []
-            for di in range(2):
-                dd = (dcam_ref[di, 0], dcam_ref[di, 1], dcam_ref[di, 2])
-                rce1d = (dd[1] * e2[2] - dd[2] * e2[1],
-                         dd[2] * e2[0] - dd[0] * e2[2],
-                         dd[0] * e2[1] - dd[1] * e2[0])
-                rcpd = -_dot_planes(e1, rce1d) * rcp * rcp
-                det0d = _dot_planes(r0, rce1d)
-                db1 = rcpd * det0 + rcp * det0d
-                det1d = dd[0] * e0c0[0] + dd[1] * e0c0[1] + dd[2] * e0c0[2]
-                db2 = -rcpd * det1 - rcp * det1d
-                db0 = -(db1 + db2)
-                duv.append((db0 * uv0[0] + db1 * uv1[0] + db2 * uv2[0],
-                            db0 * uv0[1] + db1 * uv1[1] + db2 * uv2[1]))
 
-            ni = tuple(b0 * n0[j] + b1 * n1[j] + b2 * n2[j]
-                       for j in range(3))
-            inv_len = jax.lax.rsqrt(jnp.maximum(_dot_planes(ni, ni), 1e-30))
-            ni = tuple(x * inv_len for x in ni)
-            uv = (b0 * uv0[0] + b1 * uv1[0] + b2 * uv2[0],
-                  b0 * uv0[1] + b1 * uv1[1] + b2 * uv2[1])
-            te0 = (uv1[0] - uv0[0], uv1[1] - uv0[1])
-            te1 = (uv2[0] - uv0[0], uv2[1] - uv0[1])
-            nxe0 = _cross_planes(ni, e1)
-            e1xn = _cross_planes(e2, ni)
-            tangent = tuple(e1xn[j] * te0[0] + nxe0[j] * te1[0]
-                            for j in range(3))
-            bitangent = tuple(e1xn[j] * te0[1] + nxe0[j] * te1[1]
-                              for j in range(3))
-            mtl = jnp.sqrt(0.5 * (_dot_planes(tangent, tangent)
-                                  + _dot_planes(bitangent, bitangent)))
+def _attrs_finalize(acc, rays8_flat, dcam, visited):
+    """Re-intersection, barycentric interpolation, UV derivatives and
+    tangent frame from the selected triangle scalars — plain elementwise
+    XLA (shading_pass.frag.glsl:738-812; ops/intersect.py
+    ray_triangle_barycentrics). acc: (_ACC_PLANES, N); rays8_flat: (8, N);
+    dcam: (2, 3) d(ray_dir)/d(pixel); visited: (N,) bool (chunks with no
+    work items carry undefined accumulator rows — their found flag is
+    forced off). Returns (N, ATTR_PLANES)."""
+    a = jnp.where(visited[None, :], acc, 0.0)
+    v0 = (a[0], a[1], a[2])
+    e1 = (a[3], a[4], a[5])
+    e2 = (a[6], a[7], a[8])
+    n0 = (a[9], a[10], a[11])
+    n1 = (a[12], a[13], a[14])
+    n2 = (a[15], a[16], a[17])
+    uv0 = (a[18], a[19])
+    uv1 = (a[20], a[21])
+    uv2 = (a[22], a[23])
+    mat = a[24]
+    found = a[25]
+    o = (rays8_flat[0], rays8_flat[1], rays8_flat[2])
+    d = (rays8_flat[3], rays8_flat[4], rays8_flat[5])
 
-            planes = list(ni) + [uv[0], uv[1], duv[0][0], duv[0][1],
-                                 duv[1][0], duv[1][1]] \
-                + list(tangent) + list(bitangent) + [mtl, mat, found]
-            ok = (found > 0.5) & det_ok
-            out_ref[...] = jnp.stack(
-                [jnp.where(ok, p, 0.0) for p in planes[:-1]]
-                + [jnp.where(ok, 1.0, 0.0)])
+    rce1 = _cross_planes(d, e2)
+    det = _dot_planes(e1, rce1)
+    det_ok = jnp.abs(det) > 1e-30
+    rcp = 1.0 / jnp.where(det_ok, det, 1.0)
+    r0 = tuple(o[j] - v0[j] for j in range(3))
+    det0 = _dot_planes(r0, rce1)
+    b1 = rcp * det0
+    e0c0 = _cross_planes(e1, r0)
+    det1 = _dot_planes(d, e0c0)
+    b2 = -rcp * det1
+    b0 = 1.0 - (b1 + b2)
+    duv = []
+    for di in range(2):
+        dd = (dcam[di, 0], dcam[di, 1], dcam[di, 2])
+        rce1d = (dd[1] * e2[2] - dd[2] * e2[1],
+                 dd[2] * e2[0] - dd[0] * e2[2],
+                 dd[0] * e2[1] - dd[1] * e2[0])
+        rcpd = -_dot_planes(e1, rce1d) * rcp * rcp
+        det0d = _dot_planes(r0, rce1d)
+        db1 = rcpd * det0 + rcp * det0d
+        det1d = dd[0] * e0c0[0] + dd[1] * e0c0[1] + dd[2] * e0c0[2]
+        db2 = -rcpd * det1 - rcp * det1d
+        db0 = -(db1 + db2)
+        duv.append((db0 * uv0[0] + db1 * uv1[0] + db2 * uv2[0],
+                    db0 * uv0[1] + db1 * uv1[1] + db2 * uv2[1]))
 
-    def call_one(ids_s, valid_s, rays_s, nc_s):
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(nc_s, m),
-            in_specs=[
-                pl.BlockSpec((8, chunk_rows, _LANE),
-                             lambda i, mm, ids, valid: (0, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((2, 3),
-                             lambda i, mm, ids, valid: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, tab.shape[2]),
-                             lambda i, mm, ids, valid:
-                             (ids[i * m + mm], 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, atab.shape[2]),
-                             lambda i, mm, ids, valid:
-                             (ids[i * m + mm], 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((ATTR_PLANES, chunk_rows, _LANE),
-                                   lambda i, mm, ids, valid: (0, i, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((_ACC_PLANES, chunk_rows, _LANE), jnp.float32)],
-        )
-        out = pl.pallas_call(
-            kernel,
-            out_shape=jax.ShapeDtypeStruct(
-                (ATTR_PLANES, nc_s * chunk_rows, _LANE), jnp.float32),
-            grid_spec=grid_spec,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
-                dimension_semantics=("parallel", "arbitrary")),
-            interpret=interpret,
-        )(ids_s, valid_s, rays_s, dcam, tab, atab)
-        # Rows leading so _sliced_call can concatenate chunk slices.
-        return out.transpose(1, 0, 2)
+    ni = tuple(b0 * n0[j] + b1 * n1[j] + b2 * n2[j] for j in range(3))
+    inv_len = jax.lax.rsqrt(jnp.maximum(_dot_planes(ni, ni), 1e-30))
+    ni = tuple(x * inv_len for x in ni)
+    uv = (b0 * uv0[0] + b1 * uv1[0] + b2 * uv2[0],
+          b0 * uv0[1] + b1 * uv1[1] + b2 * uv2[1])
+    te0 = (uv1[0] - uv0[0], uv1[1] - uv0[1])
+    te1 = (uv2[0] - uv0[0], uv2[1] - uv0[1])
+    nxe0 = _cross_planes(ni, e1)
+    e1xn = _cross_planes(e2, ni)
+    tangent = tuple(e1xn[j] * te0[0] + nxe0[j] * te1[0] for j in range(3))
+    bitangent = tuple(e1xn[j] * te0[1] + nxe0[j] * te1[1]
+                      for j in range(3))
+    mtl = jnp.sqrt(0.5 * (_dot_planes(tangent, tangent)
+                          + _dot_planes(bitangent, bitangent)))
 
-    out = _sliced_call(call_one, nc, m, chunk_rows, ids, valid, rays8)
-    return out.transpose(0, 2, 1).reshape(-1, ATTR_PLANES)
+    planes = list(ni) + [uv[0], uv[1], duv[0][0], duv[0][1],
+                         duv[1][0], duv[1][1]] \
+        + list(tangent) + list(bitangent) + [mtl, mat]
+    ok = (found > 0.5) & det_ok & visited
+    return jnp.stack(
+        [jnp.where(ok, p, 0.0) for p in planes]
+        + [jnp.where(ok, 1.0, 0.0)]).T
 
 
 def trace_closest_attrs(clusters: Clusters, origins, dirs, ray_d_derivs,
@@ -988,45 +1037,54 @@ def trace_closest_attrs(clusters: Clusters, origins, dirs, ray_d_derivs,
     tiny compacted gather, the re-trace touches ~1e-3 of rays)."""
     origins = jnp.broadcast_to(origins, dirs.shape)
     r = dirs.shape[0]
-    t_live = jnp.full((r,), jnp.inf, jnp.float32)
-    prim1, t1, unp1, _, cull = _closest_pass(
-        clusters, origins, dirs, t_live, chunk_rows, m_budget, t_min,
-        interpret, sc_budget)
-    ids, valid, rays, nc = cull
-    m = min(m_budget, clusters.cluster_count)
     chunk = chunk_rows * _LANE
-    prim_f = jnp.where(prim1 == INVALID, -1.0, prim1.astype(jnp.float32))
-    pad = nc * chunk - r
-    if pad:
-        prim_f = jnp.concatenate([prim_f, jnp.full((pad,), -1.0)])
-    rays8 = jnp.concatenate(
-        [rays, prim_f.reshape(1, -1, _LANE)], axis=0)
-    attrs = _attr_pass(clusters, ids, valid, rays8, nc, chunk_rows, m,
-                       ray_d_derivs, interpret)[:r]
+    dcam = jnp.asarray(ray_d_derivs, jnp.float32).reshape(2, 3)
+
+    def closest_attr_one(o, d, tm):
+        prim1, t1, unp1, _, cull = _closest_pass_one(
+            clusters, o, d, tm, chunk_rows, m_budget, t_min, interpret,
+            sc_budget)
+        items, counts, rays, nc = cull
+        r1 = d.shape[0]
+        prim_f = jnp.where(prim1 == INVALID, -1.0,
+                           prim1.astype(jnp.float32))
+        pad = nc * chunk - r1
+        if pad:
+            prim_f = jnp.concatenate([prim_f, jnp.full((pad,), -1.0)])
+        rays8 = jnp.concatenate(
+            [rays, prim_f.reshape(1, -1, _LANE)], axis=0)
+        acc = _attr_pass_one(clusters, items, counts, rays8, nc,
+                             chunk_rows, interpret)
+        attrs = _attrs_finalize(acc, rays8.reshape(8, -1), dcam,
+                                _visited_mask(counts, chunk))[:r1]
+        return prim1, t1, unp1, attrs
+
+    t_live = jnp.full((r,), jnp.inf, jnp.float32)
+    prim1, t1, unp1, attrs = _slice_rays(
+        closest_attr_one, origins, dirs, t_live, chunk, m_budget)
+    prim1, t1, unp1, attrs = prim1[:r], t1[:r], unp1[:r], attrs[:r]
 
     no_stale = jnp.zeros((r,), bool)
     if retrace_factor <= 1:
         return prim1, t1, jnp.sum(unp1, dtype=jnp.int32), attrs, no_stale
-    rows2 = chunk_rows if chunk_rows <= 8 \
-        else max(8, chunk_rows // _RETRACE_CHUNK_DIV)
+    rows2 = min(chunk_rows, _RETRACE_ROWS)
+    avg2 = max(m_budget * retrace_factor, _RETRACE_MIN_ITEMS)
 
     def do_retrace(_):
-        idx, sel_unp, covered = _retrace_chunk_gather(unp1, r, chunk)
-        t2_max = jnp.where(sel_unp, jnp.inf, -1.0)
-        prim2, t2, _, bound2, _ = _closest_pass(
+        idx, live2, missed = _retrace_select(unp1, r)
+        t2_max = jnp.where(live2, jnp.inf, -1.0)
+        prim2, t2, unp2, _ = _closest_pass(
             clusters, origins[idx], dirs[idx], t2_max, rows2,
-            m_budget * retrace_factor, t_min, interpret,
-            sc_budget * retrace_factor)
+            avg2, t_min, interpret, _EXHAUSTIVE_SC)
         t1_sel = t1[idx]
-        better = sel_unp & (t2 < t1_sel)
+        better = live2 & (t2 < t1_sel)
         t_sel = jnp.where(better, t2, t1_sel)
         prim_sel = jnp.where(better, prim2, prim1[idx])
-        scatter_idx = jnp.where(sel_unp, idx, jnp.int32(r))
+        scatter_idx = jnp.where(live2, idx, jnp.int32(r))
         t = t1.at[scatter_idx].set(t_sel, mode="drop")
         prim = prim1.at[scatter_idx].set(prim_sel, mode="drop")
         stale = no_stale.at[scatter_idx].set(better, mode="drop")
-        residual = jnp.sum(unp1, dtype=jnp.int32) - covered \
-            + jnp.sum(sel_unp & (t_sel > bound2), dtype=jnp.int32)
+        residual = missed + jnp.sum(unp2 & live2, dtype=jnp.int32)
         return prim, t, residual, stale
 
     def skip(_):
