@@ -197,17 +197,22 @@ class Application:
                 f"{overflow}); raise SceneStatic budgets/retrace passes",
                 file=sys.stderr)
 
-    def render_frame_sync(self) -> np.ndarray:
-        """Render one frame and wait for it (screenshots, experiments)."""
-        import jax
+    def render_frame_sync(self):
+        """Render one frame and wait for it (screenshots, experiments).
+
+        Returns the frame ON DEVICE (np.asarray-able). The sync point is
+        _retire_stats's scalar counter transfer: block_until_ready does
+        not reliably block through the axon relay, and a full-image
+        np.asarray would time the tunnel (~25 MB/s — measured ~970 ms of
+        pure transfer per 1080p frame, which corrupted the round-3 timing
+        sweep) instead of the frame."""
         self.render_frame_async()
         frame = None
         while self._in_flight:
             frame, stats = self._in_flight.popleft()
-            jax.block_until_ready(frame)
             self._retire_stats(stats)
         self.timer.record()
-        return np.asarray(frame)
+        return frame
 
 
 def _is_valid_noise(value: str) -> bool:

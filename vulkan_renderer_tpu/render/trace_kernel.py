@@ -6,11 +6,13 @@ that matmul is ~85% of the trace cost (~3.6 TFLOP of pure data movement
 per megabatch). Here:
 
   Phase 1 (XLA, cheap): rays are processed in chunks of `chunk_rows`*128;
-    one dense slab test per chunk yields the UNION of hit clusters. EVERY
-    hit (chunk, cluster) pair becomes one WORK ITEM, packed chunk-major
-    into a single i32 array (chunk*KPAD + cluster) — no per-chunk
-    truncation, so the kernels cover the full union by construction
-    (_union_items).
+    one dense slab test per chunk yields the UNION of hit clusters; hit
+    (chunk, cluster) pairs become WORK ITEMS, packed chunk-major into a
+    single i32 array (chunk*KPAD + cluster). Pass 1 covers the members of
+    the sc_budget nearest superclusters (per-ray t bounds mark what a
+    dropped sc could still affect); the re-trace re-runs unproven rays
+    with EXACT coverage — every slab-hit supercluster expanded through
+    the _member_mask Pallas kernel (_union_items).
   Phase 2 (Pallas): a 1-D grid over the work items. A scalar-prefetched
     index map DMAs exactly the item's cluster triangle planes (one
     (1,1,W) block) into VMEM; the kernel intersects the item's chunk rays
@@ -24,11 +26,12 @@ per megabatch). Here:
 
 Same hit semantics as the reference's ray queries: t in [t_min, t_max],
 no backface culling, force-opaque (shading_pass.frag.glsl:120-138).
-Exactness: member-level coverage is total; a ray is unproven only when a
-dropped SUPERcluster's slab hits it (sc_budget tier) or its chunk's items
-overflow the global capacity (nc*avg_items, SMEM-bounded) — both counted
-in the returned overflow (any-hit) / uncertain (closest-hit) counters and
-repaired by the lax.cond re-trace, same contract as render/wavefront.py.
+Exactness: a ray is unproven only when a dropped supercluster's slab hits
+it (pass-1 sc_budget tier) or a static capacity binds — counted in the
+returned overflow (any-hit) / uncertain (closest-hit) counters and
+repaired by the lax.cond exact re-trace; counters can stay nonzero only
+through the re-trace's own two capacities (measured 0 at the 300k and 1M
+flagship configs).
 """
 
 from __future__ import annotations
@@ -155,84 +158,16 @@ def _nearest_k(t_sel, ids, budget: int):
 _MAX_ITEMS = 160 * 1024
 
 
-def _union_items(clusters: Clusters, origins, dirs, t_max, chunk: int,
-                 avg_items: int, sc_budget: int = _SC_BUDGET):
-    """Work-item cull: per chunk, EVERY slab-hit member cluster becomes
-    one (chunk, cluster) work item — no per-chunk truncation, so the
-    kernels cover the full union by construction. Items are packed
-    chunk-major into one i32 array as chunk*KPAD + cluster (cluster == K
-    addresses the inert pad row), with KPAD = K + 1: the kernel grid
-    iterates items, so its step count is the SUM of union sizes instead
-    of nc x m_budget (the fixed-budget grid spent most steps on invalid
-    tails and forced the budget/exactness trade).
-
-    Exactness bounds come from two sources only: dropped SUPERclusters
-    (budget sc_budget, per-ray slab refinement) and chunks whose items
-    overflow the global capacity nc*avg_items (their rays get bound 0 =
-    fully unproven; the re-trace picks them up).
-
-    Returns (items (CAP,) i32, counts (NC,) i32, t_bound (NC, chunk) f32,
-    dropped (), NC)."""
-    k = clusters.cluster_count
-    kpad = k + 1
-    (o_c, d_c, t_c), r = _chunk_rows([origins, dirs, t_max], chunk)
-    two_level = k > _TWO_LEVEL_MIN_CLUSTERS
-    if two_level:
-        member_rows, sc_lo, sc_hi = _supercluster_aabbs(clusters)
-        ks = sc_lo.shape[0]
-        member_offsets = jnp.arange(_SC_GROUP, dtype=jnp.int32)
-    all_ids = jnp.arange(k, dtype=jnp.int32)
-
-    def body(args):
-        o, d, t = args
-        if two_level:
-            sc_mask, sc_near = _slab_mask(sc_lo, sc_hi, o, d, t)
-            sc_t = jnp.min(jnp.where(sc_mask, sc_near, jnp.inf), axis=0)
-            sc_ids, sc_valid, sc_dropped_sel = _nearest_k(
-                sc_t, jnp.arange(ks, dtype=jnp.int32), min(sc_budget, ks))
-            # Per-ray bound from dropped superclusters: the sc AABB entry
-            # lower-bounds every member's entry.
-            t_bound = jnp.min(jnp.where(sc_mask & sc_dropped_sel[None, :],
-                                        sc_near, jnp.inf), axis=1)
-            sc_dropped = jnp.sum(sc_dropped_sel, dtype=jnp.int32)
-            member_ids = (sc_ids[:, None] * _SC_GROUP
-                          + member_offsets[None, :]).reshape(-1)
-            # ONE grouped row per selected supercluster (members are
-            # contiguous); padded/dropped superclusters contribute NaN
-            # AABBs (never hit; see _supercluster_aabbs on why not
-            # +/-inf).
-            rows_sel = member_rows[sc_ids]  # (sc_budget, G*6)
-            g3 = _SC_GROUP * 3
-            sel_lo = jnp.where(sc_valid[:, None, None],
-                               rows_sel[:, :g3].reshape(
-                                   -1, _SC_GROUP, 3), jnp.nan).reshape(-1, 3)
-            sel_hi = jnp.where(sc_valid[:, None, None],
-                               rows_sel[:, g3:].reshape(
-                                   -1, _SC_GROUP, 3), jnp.nan).reshape(-1, 3)
-            mask, t_near = _slab_mask(sel_lo, sel_hi, o, d, t)
-            t_sel = jnp.min(jnp.where(mask, t_near, jnp.inf), axis=0)
-            keep = jnp.isfinite(t_sel)
-            ids = jnp.where(keep & (member_ids < k), member_ids, k)
-        else:
-            mask, t_near = _slab_mask(clusters.aabb_lo, clusters.aabb_hi,
-                                      o, d, t)
-            t_sel = jnp.min(jnp.where(mask, t_near, jnp.inf), axis=0)
-            keep = jnp.isfinite(t_sel)
-            ids = jnp.where(keep, all_ids, k)
-            t_bound = jnp.full(o.shape[:1], jnp.inf)
-            sc_dropped = jnp.int32(0)
-        return (ids.astype(jnp.int32), keep, t_bound, sc_dropped)
-
-    # Blocks of _CULL_BLOCK chunks, vmapped inside a lax.map step: a
-    # per-chunk lax.scan serialized ~0.1 ms of dense work per chunk;
-    # batching amortizes it while keeping the (CB, members, rays)
-    # slab-test intermediates bounded.
+def _blocked_chunk_map(body, o_c, d_c, t_c):
+    """lax.map(vmap(body)) over blocks of _CULL_BLOCK chunks: a per-chunk
+    lax.scan serialized ~0.1 ms of dense work per chunk; batching
+    amortizes it while keeping the slab-test intermediates bounded.
+    Block-padding chunks are dead rays (t_max = -1: fail every slab test);
+    outputs are trimmed back to nc rows."""
     nc = o_c.shape[0]
     cb = min(_CULL_BLOCK, nc)
     pad_c = (-nc) % cb
     if pad_c:
-        # Dead chunks: rays with t_max = -1 fail every slab test; their
-        # outputs are sliced off below.
         o_c = jnp.concatenate(
             [o_c, jnp.zeros((pad_c,) + o_c.shape[1:], o_c.dtype)])
         d_c = jnp.concatenate(
@@ -242,32 +177,254 @@ def _union_items(clusters: Clusters, origins, dirs, t_max, chunk: int,
     ns = (nc + pad_c) // cb
     blocked = tuple(a.reshape((ns, cb) + a.shape[1:])
                     for a in (o_c, d_c, t_c))
-    ids, keep, t_bound, sc_dropped = jax.lax.map(jax.vmap(body), blocked)
-    pool = ids.shape[-1]
-    ids = ids.reshape(-1, pool)[:nc]
-    keep = keep.reshape(-1, pool)[:nc]
-    t_bound = t_bound.reshape(ns * cb, chunk)[:nc]
-    sc_dropped = jnp.sum(sc_dropped.reshape(-1)[:nc])
+    outs = jax.lax.map(jax.vmap(body), blocked)
+    return jax.tree.map(
+        lambda o: o.reshape((ns * cb,) + o.shape[2:])[:nc], outs)
 
-    cap = max(min(nc * avg_items, _MAX_ITEMS), 1)
-    counts = jnp.sum(keep, axis=1, dtype=jnp.int32)
-    chunk_of = jnp.broadcast_to(
-        jnp.arange(nc, dtype=jnp.int32)[:, None], (nc, pool))
-    flat_keep = keep.reshape(-1)
-    payload = (chunk_of * kpad + ids).reshape(-1)
-    rank = jnp.cumsum(flat_keep.astype(jnp.int32)) - 1
-    pos = jnp.where(flat_keep, rank, cap)
-    # Tail filler: the LAST chunk's pad row — keeps the item->chunk map
-    # monotone so out-block revisits stay contiguous.
-    items = jnp.full((cap,), (nc - 1) * kpad + k, jnp.int32) \
+
+def _pack_item_list(keep, payload, chunk_of, nc: int, cap: int,
+                    filler: int):
+    """Compact (flat order-preserving) the kept payloads into a (cap,)
+    item array (tail = filler, which must sort after every payload) plus
+    per-chunk counts and the capped-chunk mask. keep/payload/chunk_of are
+    flat, ordered chunk-major."""
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    pos = jnp.where(keep, rank, cap)
+    items = jnp.full((cap,), filler, jnp.int32) \
         .at[pos].set(payload, mode="drop")
-    # Chunks whose items spill past the capacity are fully unproven.
+    counts = jnp.zeros((nc,), jnp.int32) \
+        .at[jnp.where(keep, chunk_of, nc)].add(1, mode="drop")
     ends = jnp.cumsum(counts)
     capped = ends > cap
+    overflow = jnp.maximum(ends[-1] - cap, 0)
+    return items, counts, capped, overflow
+
+
+def _member_mask(items_sc, rays, member_rows3, kspad: int, chunk_rows: int,
+                 interpret: bool):
+    """Pallas kernel over supercluster work items: for each (chunk, sc)
+    item, DMA the sc's grouped member-AABB row and emit a 32-lane mask —
+    lane g is 1 when ANY of the chunk's rays slab-hits member g. This is
+    what makes the exact cull affordable: the member slab test runs ONLY
+    on actually-hit superclusters (the former fixed sc_budget pool paid it
+    on a fixed count and still had to DROP superclusters beyond it — the
+    round-2/3 exactness hole). Returns (CAP_SC, _SC_GROUP) bool."""
+    cap_sc = items_sc.shape[0]
+    g = _SC_GROUP
+    g3 = g * 3
+
+    def kernel(items_ref, rays_ref, row_ref, out_ref):
+        ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
+        dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
+        tmax = rays_ref[6]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _LANE), 2)
+        row = jnp.zeros((1, 1, _LANE), jnp.float32)
+        for gg in range(g):
+            lo = [row_ref[0, 0, gg * 3 + c] for c in range(3)]
+            hi = [row_ref[0, 0, g3 + gg * 3 + c] for c in range(3)]
+            m, _ = _ray_slab_scalars(lo, hi, ox, oy, oz, dx, dy, dz, tmax)
+            row = jnp.where((lane == gg) & jnp.any(m), 1.0, row)
+        out_ref[...] = row
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cap_sc,),
+        in_specs=[
+            pl.BlockSpec((7, chunk_rows, _LANE),
+                         lambda it, items: (0, items[it] // kspad, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, member_rows3.shape[2]),
+                         lambda it, items: (items[it] % kspad, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        # (1, 1, _LANE) out blocks: Mosaic requires the trailing two
+        # block dims to divide (8, 128) or EQUAL the array dims — a 3-D
+        # (cap, 1, 128) layout satisfies that where (cap, 128) cannot.
+        out_specs=pl.BlockSpec((1, 1, _LANE),
+                               lambda it, items: (it, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((cap_sc, 1, _LANE), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(items_sc, rays, member_rows3)
+    return out[:, 0, :g] > 0.5
+
+
+def _padded_member_rows(clusters: Clusters):
+    """(KS+1, 1, W) grouped member-AABB rows (W = _SC_GROUP*6 padded to a
+    lane multiple); row KS is the NaN pad row addressed by tail-filler
+    supercluster items (NaN fails every slab comparison)."""
+    member_rows, sc_lo, sc_hi = _supercluster_aabbs(clusters)
+    ks, w6 = member_rows.shape
+    w = -(-w6 // _LANE) * _LANE
+    rows = member_rows
+    if w != w6:
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((ks, w - w6), rows.dtype)], axis=1)
+    rows = jnp.concatenate([rows, jnp.full((1, w), jnp.nan)])
+    return rows.reshape(ks + 1, 1, w), sc_lo, sc_hi
+
+
+def _union_items(clusters: Clusters, origins, dirs, t_max, chunk: int,
+                 avg_items: int, sc_budget: int = _SC_BUDGET,
+                 interpret: bool = False, exact: bool = False):
+    """Work-item cull: per chunk, slab-hit member clusters become
+    (chunk, cluster) work items packed chunk-major into one i32 array as
+    chunk*KPAD + cluster (cluster == K addresses the inert pad row), with
+    KPAD = K + 1: the kernel grid iterates items, so its step count is
+    the SUM of union sizes instead of nc x budget.
+
+    Two modes for two-level scenes (the reference's analogue is its
+    two-level acceleration structure, scene.c:142-406):
+
+    - exact=False (pass-1 default): members of the `sc_budget` NEAREST
+      slab-hit superclusters (ascending-entry rank select). Dropped
+      superclusters yield per-ray t bounds — a ray is unproven only when
+      a dropped sc's slab hits IT below its t_max. MEASURED faster than
+      exact coverage at the flagship (most rays resolve within the near
+      superclusters; the re-trace fixes the rest more cheaply than
+      carrying every far item through the intersection kernels).
+    - exact=True (re-trace): EVERY slab-hit supercluster becomes a
+      (chunk, sc) item; the _member_mask Pallas kernel emits member hits
+      only for actually-hit superclusters; coverage is total by
+      construction and only the two static capacities can leave a chunk
+      unproven (t_bound 0, counts 0).
+
+    Returns (items (CAP,) i32, counts (NC,) i32, t_bound (NC, chunk) f32,
+    dropped (), NC)."""
+    k = clusters.cluster_count
+    kpad = k + 1
+    (o_c, d_c, t_c), r = _chunk_rows([origins, dirs, t_max], chunk)
+    nc = o_c.shape[0]
+    chunk_ids = jnp.arange(nc, dtype=jnp.int32)
+    cap = max(min(nc * avg_items, _MAX_ITEMS), 1)
+    two_level = k > _TWO_LEVEL_MIN_CLUSTERS
+
+    if not two_level:
+        all_ids = jnp.arange(k, dtype=jnp.int32)
+
+        def body(args):
+            o, d, t = args
+            mask, t_near = _slab_mask(clusters.aabb_lo, clusters.aabb_hi,
+                                      o, d, t)
+            t_sel = jnp.min(jnp.where(mask, t_near, jnp.inf), axis=0)
+            keep = jnp.isfinite(t_sel)
+            return jnp.where(keep, all_ids, k).astype(jnp.int32), keep
+
+        ids, keep = _blocked_chunk_map(body, o_c, d_c, t_c)
+        chunk_of = jnp.broadcast_to(chunk_ids[:, None], (nc, k))
+        items, counts, capped, overflow = _pack_item_list(
+            keep.reshape(-1), (chunk_of * kpad + ids).reshape(-1),
+            chunk_of.reshape(-1), nc, cap, (nc - 1) * kpad + k)
+        t_bound = jnp.where(capped[:, None], 0.0,
+                            jnp.full((nc, chunk), jnp.inf))
+        counts = jnp.where(capped, 0, counts)
+        return items, counts, t_bound, overflow, nc
+
+    if not exact:
+        return _union_items_budget(clusters, o_c, d_c, t_c, chunk, nc,
+                                   kpad, cap, avg_items, sc_budget)
+
+    member_rows3, sc_lo, sc_hi = _padded_member_rows(clusters)
+    ks = sc_lo.shape[0]
+    kspad = ks + 1
+    sc_all = jnp.arange(ks, dtype=jnp.int32)
+
+    def sc_body(args):
+        o, d, t = args
+        sc_mask, sc_near = _slab_mask(sc_lo, sc_hi, o, d, t)
+        sc_t = jnp.min(jnp.where(sc_mask, sc_near, jnp.inf), axis=0)
+        # Ascending-entry sort (budget = ks: nothing is dropped) so the
+        # chunk's items run front-to-back for closest-hit pruning.
+        sel, valid, _ = _nearest_k(sc_t, sc_all, ks)
+        return sel, valid
+
+    sc_ids, sc_keep = _blocked_chunk_map(sc_body, o_c, d_c, t_c)
+    cap_sc = max(min(nc * max(sc_budget, 1), nc * kspad, _MAX_ITEMS), 1)
+    chunk_of_sc = jnp.broadcast_to(chunk_ids[:, None], (nc, ks))
+    items_sc, counts_sc, sc_capped, sc_overflow = _pack_item_list(
+        sc_keep.reshape(-1),
+        (chunk_of_sc * kspad
+         + jnp.where(sc_keep, sc_ids, ks)).reshape(-1),
+        chunk_of_sc.reshape(-1), nc, cap_sc, (nc - 1) * kspad + ks)
+
+    rays, _ = _pack_rays(origins, dirs, t_max, chunk)
+    mask = _member_mask(items_sc, rays, member_rows3, kspad,
+                        chunk // _LANE, interpret)
+
+    g = _SC_GROUP
+    item_chunk = items_sc // kspad
+    member_ids = (items_sc % kspad)[:, None] * g \
+        + jnp.arange(g, dtype=jnp.int32)[None, :]
+    keepm = mask & (member_ids < k)
+    payload = item_chunk[:, None] * kpad + jnp.minimum(member_ids, k)
+    chunk_of = jnp.broadcast_to(item_chunk[:, None], (cap_sc, g))
+    items, counts, capped, overflow = _pack_item_list(
+        keepm.reshape(-1), payload.reshape(-1), chunk_of.reshape(-1),
+        nc, cap, (nc - 1) * kpad + k)
+    capped = capped | sc_capped
+    t_bound = jnp.where(capped[:, None], 0.0,
+                        jnp.full((nc, chunk), jnp.inf))
+    counts = jnp.where(capped, 0, counts)
+    return items, counts, t_bound, overflow + sc_overflow, nc
+
+
+def _union_items_budget(clusters: Clusters, o_c, d_c, t_c, chunk: int,
+                        nc: int, kpad: int, cap: int, avg_items: int,
+                        sc_budget: int):
+    """Budgeted two-level cull (pass-1 path): dense supercluster slab,
+    members of the sc_budget NEAREST hit superclusters slab-tested in an
+    XLA pool, per-ray t bounds from the dropped superclusters."""
+    k = clusters.cluster_count
+    member_rows, sc_lo, sc_hi = _supercluster_aabbs(clusters)
+    ks = sc_lo.shape[0]
+    member_offsets = jnp.arange(_SC_GROUP, dtype=jnp.int32)
+
+    def body(args):
+        o, d, t = args
+        sc_mask, sc_near = _slab_mask(sc_lo, sc_hi, o, d, t)
+        sc_t = jnp.min(jnp.where(sc_mask, sc_near, jnp.inf), axis=0)
+        sc_ids, sc_valid, sc_dropped_sel = _nearest_k(
+            sc_t, jnp.arange(ks, dtype=jnp.int32), min(sc_budget, ks))
+        # Per-ray bound from dropped superclusters: the sc AABB entry
+        # lower-bounds every member's entry.
+        t_bound = jnp.min(jnp.where(sc_mask & sc_dropped_sel[None, :],
+                                    sc_near, jnp.inf), axis=1)
+        member_ids = (sc_ids[:, None] * _SC_GROUP
+                      + member_offsets[None, :]).reshape(-1)
+        # ONE grouped row per selected supercluster (members are
+        # contiguous); padded/dropped superclusters contribute NaN
+        # AABBs (never hit; see _supercluster_aabbs on why not +/-inf).
+        rows_sel = member_rows[sc_ids]  # (sc_budget, G*6)
+        g3 = _SC_GROUP * 3
+        sel_lo = jnp.where(sc_valid[:, None, None],
+                           rows_sel[:, :g3].reshape(
+                               -1, _SC_GROUP, 3), jnp.nan).reshape(-1, 3)
+        sel_hi = jnp.where(sc_valid[:, None, None],
+                           rows_sel[:, g3:].reshape(
+                               -1, _SC_GROUP, 3), jnp.nan).reshape(-1, 3)
+        mask, t_near = _slab_mask(sel_lo, sel_hi, o, d, t)
+        t_sel = jnp.min(jnp.where(mask, t_near, jnp.inf), axis=0)
+        keep = jnp.isfinite(t_sel)
+        ids = jnp.where(keep & (member_ids < k), member_ids, k)
+        return ids.astype(jnp.int32), keep, t_bound
+
+    ids, keep, t_bound = _blocked_chunk_map(body, o_c, d_c, t_c)
+    pool = ids.shape[-1]
+    chunk_of = jnp.broadcast_to(
+        jnp.arange(nc, dtype=jnp.int32)[:, None], (nc, pool))
+    items, counts, capped, overflow = _pack_item_list(
+        keep.reshape(-1), (chunk_of * kpad + ids).reshape(-1),
+        chunk_of.reshape(-1), nc, cap, (nc - 1) * kpad + k)
     t_bound = jnp.where(capped[:, None], 0.0, t_bound)
     counts = jnp.where(capped, 0, counts)
-    dropped = sc_dropped + jnp.maximum(ends[-1] - cap, 0)
-    return items, counts, t_bound, dropped, nc
+    return items, counts, t_bound, overflow, nc
 
 
 def _pack_rays(origins, dirs, t_max, chunk: int):
@@ -404,7 +561,8 @@ def _visited_mask(counts, chunk: int):
 
 def _anyhit_pass(clusters: Clusters, origins, dirs, t_max,
                  chunk_rows: int, avg_items: int,
-                 t_min: float, interpret: bool, sc_budget: int):
+                 t_min: float, interpret: bool, sc_budget: int,
+                 exact: bool = False):
     """One any-hit pass over the work-item grid. Returns (occluded bool
     (R,), unproven bool (R,)): unproven marks live rays whose un-occluded
     result lacks the exactness guarantee (a dropped supercluster or the
@@ -417,14 +575,15 @@ def _anyhit_pass(clusters: Clusters, origins, dirs, t_max,
     occ, unp = _slice_rays(
         lambda o, d, t: _anyhit_pass_one(clusters, o, d, t, chunk_rows,
                                          avg_items, t_min, interpret,
-                                         sc_budget),
+                                         sc_budget, exact),
         origins, dirs, t_max, chunk, avg_items)
     return occ[:r], unp[:r]
 
 
 def _anyhit_pass_one(clusters: Clusters, origins, dirs, t_max,
                      chunk_rows: int, avg_items: int,
-                     t_min: float, interpret: bool, sc_budget: int):
+                     t_min: float, interpret: bool, sc_budget: int,
+                     exact: bool = False):
     chunk = chunk_rows * _LANE
     k = clusters.cluster_count
     kpad = k + 1
@@ -432,7 +591,7 @@ def _anyhit_pass_one(clusters: Clusters, origins, dirs, t_max,
 
     items, counts, t_bound, _, nc = _union_items(
         clusters, origins, dirs, t_max, chunk, avg_items,
-        sc_budget=sc_budget)
+        sc_budget=sc_budget, interpret=interpret, exact=exact)
     cap = items.shape[0]
     rays, r = _pack_rays(origins, dirs, t_max, chunk)
     tab, aabb, _ = _padded_tables(clusters)
@@ -534,6 +693,7 @@ def _anyhit_pass_one(clusters: Clusters, origins, dirs, t_max,
 # capacities (ray compaction, item cap) — honest counters, near-impossible
 # to hit with sane budgets.
 _RETRACE_RAY_FRAC = 8
+_RETRACE_CLOSEST_FRAC = 16  # primary unproven rates are ~20x lower
 _RETRACE_ROWS = 8           # 1024-ray re-trace chunks (tighter unions)
 _RETRACE_MIN_ITEMS = 192    # floor for the re-trace per-chunk item average
 _RETRACE_BUDGET_SCALE = 2
@@ -553,13 +713,17 @@ def _compact_indices(mask, capacity: int):
     return idx, count
 
 
-def _retrace_select(unproven, r: int):
+def _retrace_select(unproven, r: int, frac: int = _RETRACE_RAY_FRAC):
     """Order-preserving compaction of unproven ray indices (Morton-tile
     neighbors stay neighbors, so re-trace chunks keep spatial coherence).
 
     Returns (idx (cap,) i32, live (cap,) bool, missed () = unproven rays
-    beyond the static capacity — an honest residual)."""
-    cap = min(r, max(2048, r // _RETRACE_RAY_FRAC))
+    beyond the static capacity — an honest residual). The re-trace pays
+    its cull/kernel cost on ALL cap slots (dead ones produce zero items
+    but still ride the dense cull), so frac should track the pass's
+    typical unproven rate: shadows run ~4% at the flagship (frac 8),
+    primary closest ~0.2% (frac 16 leaves 30x headroom)."""
+    cap = min(r, max(2048, r // frac))
     idx, count = _compact_indices(unproven, cap)
     live = jnp.arange(cap, dtype=jnp.int32) < count
     missed = jnp.sum(unproven, dtype=jnp.int32) - count
@@ -596,7 +760,7 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
         t2 = jnp.where(live2, t_max_b[idx], -1.0)
         occ2, unp2 = _anyhit_pass(
             clusters, origins[idx], dirs[idx], t2, rows2,
-            avg2, t_min, interpret, _EXHAUSTIVE_SC)
+            avg2, t_min, interpret, _EXHAUSTIVE_SC, exact=True)
         hit2 = (occ2 & live2).astype(jnp.int32)
         scatter_idx = jnp.where(live2, idx, jnp.int32(r))
         merged = occluded | (jnp.zeros((r,), jnp.int32)
@@ -612,7 +776,8 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
 
 def _closest_pass(clusters: Clusters, origins, dirs, t_max,
                   chunk_rows: int, avg_items: int,
-                  t_min: float, interpret: bool, sc_budget: int):
+                  t_min: float, interpret: bool, sc_budget: int,
+                  exact: bool = False):
     """One closest-hit pass over ray slices (SMEM-bounded). t_max: (R,)
     with -1 marking dead rays (the re-trace pass deadens already-proven
     rays this way). Returns (prim uint32 (R,), t (R,), unproven bool (R,),
@@ -626,14 +791,15 @@ def _closest_pass(clusters: Clusters, origins, dirs, t_max,
     prim, t, unp, bound = _slice_rays(
         lambda o, d, tm: _closest_pass_one(clusters, o, d, tm, chunk_rows,
                                            avg_items, t_min, interpret,
-                                           sc_budget)[:4],
+                                           sc_budget, exact)[:4],
         origins, dirs, t_max, chunk, avg_items)
     return prim[:r], t[:r], unp[:r], bound[:r]
 
 
 def _closest_pass_one(clusters: Clusters, origins, dirs, t_max,
                       chunk_rows: int, avg_items: int,
-                      t_min: float, interpret: bool, sc_budget: int):
+                      t_min: float, interpret: bool, sc_budget: int,
+                      exact: bool = False):
     """Single-slice closest hit. Also returns the cull artifacts
     (items, counts, rays, nc) so the attribute pass can reuse the SAME
     work-item coverage (its per-ray selected primitive is then covered by
@@ -645,7 +811,7 @@ def _closest_pass_one(clusters: Clusters, origins, dirs, t_max,
 
     items, counts, t_bound, _, nc = _union_items(
         clusters, origins, dirs, t_max, chunk, avg_items,
-        sc_budget=sc_budget)
+        sc_budget=sc_budget, interpret=interpret, exact=exact)
     cap = items.shape[0]
     rays, r = _pack_rays(origins, dirs, t_max, chunk)
     tab, aabb, sub = _padded_tables(clusters)
@@ -790,11 +956,11 @@ def trace_closest_fused(clusters: Clusters, origins, dirs,
     avg2 = max(m_budget * retrace_factor, _RETRACE_MIN_ITEMS)
 
     def do_retrace(_):
-        idx, live2, missed = _retrace_select(unp1, r)
+        idx, live2, missed = _retrace_select(unp1, r, _RETRACE_CLOSEST_FRAC)
         t2_max = jnp.where(live2, jnp.inf, -1.0)
         prim2, t2, unp2, _ = _closest_pass(
             clusters, origins[idx], dirs[idx], t2_max, rows2,
-            avg2, t_min, interpret, _EXHAUSTIVE_SC)
+            avg2, t_min, interpret, _EXHAUSTIVE_SC, exact=True)
         t1_sel = t1[idx]
         better = live2 & (t2 < t1_sel)
         t_sel = jnp.where(better, t2, t1_sel)
@@ -1071,11 +1237,11 @@ def trace_closest_attrs(clusters: Clusters, origins, dirs, ray_d_derivs,
     avg2 = max(m_budget * retrace_factor, _RETRACE_MIN_ITEMS)
 
     def do_retrace(_):
-        idx, live2, missed = _retrace_select(unp1, r)
+        idx, live2, missed = _retrace_select(unp1, r, _RETRACE_CLOSEST_FRAC)
         t2_max = jnp.where(live2, jnp.inf, -1.0)
         prim2, t2, unp2, _ = _closest_pass(
             clusters, origins[idx], dirs[idx], t2_max, rows2,
-            avg2, t_min, interpret, _EXHAUSTIVE_SC)
+            avg2, t_min, interpret, _EXHAUSTIVE_SC, exact=True)
         t1_sel = t1[idx]
         better = live2 & (t2 < t1_sel)
         t_sel = jnp.where(better, t2, t1_sel)
