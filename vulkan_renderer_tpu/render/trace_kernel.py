@@ -11,8 +11,8 @@ per megabatch). Here:
     single i32 array (chunk*KPAD + cluster). Pass 1 covers the members of
     the sc_budget nearest superclusters (per-ray t bounds mark what a
     dropped sc could still affect); the re-trace re-runs unproven rays
-    with EXACT coverage — every slab-hit supercluster expanded through
-    the _member_mask Pallas kernel (_union_items).
+    with EXACT coverage — a dense member slab over every supercluster
+    (_union_items, _union_items_budget).
   Phase 2 (Pallas): a 1-D grid over the work items. A scalar-prefetched
     index map DMAs exactly the item's cluster triangle planes (one
     (1,1,W) block) into VMEM; the kernel intersects the item's chunk rays
@@ -200,101 +200,26 @@ def _pack_item_list(keep, payload, chunk_of, nc: int, cap: int,
     return items, counts, capped, overflow
 
 
-def _member_mask(items_sc, rays, member_rows3, kspad: int, chunk_rows: int,
-                 interpret: bool):
-    """Pallas kernel over supercluster work items: for each (chunk, sc)
-    item, DMA the sc's grouped member-AABB row and emit a 32-lane mask —
-    lane g is 1 when ANY of the chunk's rays slab-hits member g. This is
-    what makes the exact cull affordable: the member slab test runs ONLY
-    on actually-hit superclusters (the former fixed sc_budget pool paid it
-    on a fixed count and still had to DROP superclusters beyond it — the
-    round-2/3 exactness hole). Returns (CAP_SC, _SC_GROUP) bool."""
-    cap_sc = items_sc.shape[0]
-    g = _SC_GROUP
-    g3 = g * 3
-
-    def kernel(items_ref, rays_ref, row_ref, out_ref):
-        ox, oy, oz = rays_ref[0], rays_ref[1], rays_ref[2]
-        dx, dy, dz = rays_ref[3], rays_ref[4], rays_ref[5]
-        tmax = rays_ref[6]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, _LANE), 2)
-        row = jnp.zeros((1, 1, _LANE), jnp.float32)
-        for gg in range(g):
-            lo = [row_ref[0, 0, gg * 3 + c] for c in range(3)]
-            hi = [row_ref[0, 0, g3 + gg * 3 + c] for c in range(3)]
-            m, _ = _ray_slab_scalars(lo, hi, ox, oy, oz, dx, dy, dz, tmax)
-            row = jnp.where((lane == gg) & jnp.any(m), 1.0, row)
-        out_ref[...] = row
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(cap_sc,),
-        in_specs=[
-            pl.BlockSpec((7, chunk_rows, _LANE),
-                         lambda it, items: (0, items[it] // kspad, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, member_rows3.shape[2]),
-                         lambda it, items: (items[it] % kspad, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        # (1, 1, _LANE) out blocks: Mosaic requires the trailing two
-        # block dims to divide (8, 128) or EQUAL the array dims — a 3-D
-        # (cap, 1, 128) layout satisfies that where (cap, 128) cannot.
-        out_specs=pl.BlockSpec((1, 1, _LANE),
-                               lambda it, items: (it, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((cap_sc, 1, _LANE), jnp.float32),
-        grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(items_sc, rays, member_rows3)
-    return out[:, 0, :g] > 0.5
-
-
-def _padded_member_rows(clusters: Clusters):
-    """(KS+1, 1, W) grouped member-AABB rows (W = _SC_GROUP*6 padded to a
-    lane multiple); row KS is the NaN pad row addressed by tail-filler
-    supercluster items (NaN fails every slab comparison)."""
-    member_rows, sc_lo, sc_hi = _supercluster_aabbs(clusters)
-    ks, w6 = member_rows.shape
-    w = -(-w6 // _LANE) * _LANE
-    rows = member_rows
-    if w != w6:
-        rows = jnp.concatenate(
-            [rows, jnp.zeros((ks, w - w6), rows.dtype)], axis=1)
-    rows = jnp.concatenate([rows, jnp.full((1, w), jnp.nan)])
-    return rows.reshape(ks + 1, 1, w), sc_lo, sc_hi
-
-
 def _union_items(clusters: Clusters, origins, dirs, t_max, chunk: int,
-                 avg_items: int, sc_budget: int = _SC_BUDGET,
-                 interpret: bool = False, exact: bool = False):
+                 avg_items: int, sc_budget: int = _SC_BUDGET):
     """Work-item cull: per chunk, slab-hit member clusters become
     (chunk, cluster) work items packed chunk-major into one i32 array as
     chunk*KPAD + cluster (cluster == K addresses the inert pad row), with
     KPAD = K + 1: the kernel grid iterates items, so its step count is
     the SUM of union sizes instead of nc x budget.
 
-    Two modes for two-level scenes (the reference's analogue is its
-    two-level acceleration structure, scene.c:142-406):
-
-    - exact=False (pass-1 default): members of the `sc_budget` NEAREST
-      slab-hit superclusters (ascending-entry rank select). Dropped
-      superclusters yield per-ray t bounds — a ray is unproven only when
-      a dropped sc's slab hits IT below its t_max. MEASURED faster than
-      exact coverage at the flagship (most rays resolve within the near
-      superclusters; the re-trace fixes the rest more cheaply than
-      carrying every far item through the intersection kernels).
-    - exact=True (re-trace): EVERY slab-hit supercluster becomes a
-      (chunk, sc) item; the _member_mask Pallas kernel emits member hits
-      only for actually-hit superclusters; coverage is total by
-      construction and only the two static capacities can leave a chunk
-      unproven (t_bound 0, counts 0).
+    Two-level scenes (the reference's analogue is its two-level
+    acceleration structure, scene.c:142-406) cover the members of the
+    `sc_budget` NEAREST slab-hit superclusters (ascending-entry rank
+    select); dropped superclusters yield per-ray t bounds — a ray is
+    unproven only when a dropped sc's slab hits IT below its t_max. The
+    re-trace passes sc_budget >= the supercluster count, which makes the
+    member slab dense and the coverage total (no drop source; only the
+    static capacities can leave a chunk unproven). A Pallas member-mask
+    kernel over (chunk, sc) work items was MEASURED SLOWER both in pass 1
+    (421 vs 382 ms flagship) and as the re-trace (754 vs 416 ms): its
+    ~20k latency-bound (1,1,128) steps lose to XLA's dense (pool, rays)
+    member slab.
 
     Returns (items (CAP,) i32, counts (NC,) i32, t_bound (NC, chunk) f32,
     dropped (), NC)."""
@@ -327,52 +252,8 @@ def _union_items(clusters: Clusters, origins, dirs, t_max, chunk: int,
         counts = jnp.where(capped, 0, counts)
         return items, counts, t_bound, overflow, nc
 
-    if not exact:
-        return _union_items_budget(clusters, o_c, d_c, t_c, chunk, nc,
-                                   kpad, cap, avg_items, sc_budget)
-
-    member_rows3, sc_lo, sc_hi = _padded_member_rows(clusters)
-    ks = sc_lo.shape[0]
-    kspad = ks + 1
-    sc_all = jnp.arange(ks, dtype=jnp.int32)
-
-    def sc_body(args):
-        o, d, t = args
-        sc_mask, sc_near = _slab_mask(sc_lo, sc_hi, o, d, t)
-        sc_t = jnp.min(jnp.where(sc_mask, sc_near, jnp.inf), axis=0)
-        # Ascending-entry sort (budget = ks: nothing is dropped) so the
-        # chunk's items run front-to-back for closest-hit pruning.
-        sel, valid, _ = _nearest_k(sc_t, sc_all, ks)
-        return sel, valid
-
-    sc_ids, sc_keep = _blocked_chunk_map(sc_body, o_c, d_c, t_c)
-    cap_sc = max(min(nc * max(sc_budget, 1), nc * kspad, _MAX_ITEMS), 1)
-    chunk_of_sc = jnp.broadcast_to(chunk_ids[:, None], (nc, ks))
-    items_sc, counts_sc, sc_capped, sc_overflow = _pack_item_list(
-        sc_keep.reshape(-1),
-        (chunk_of_sc * kspad
-         + jnp.where(sc_keep, sc_ids, ks)).reshape(-1),
-        chunk_of_sc.reshape(-1), nc, cap_sc, (nc - 1) * kspad + ks)
-
-    rays, _ = _pack_rays(origins, dirs, t_max, chunk)
-    mask = _member_mask(items_sc, rays, member_rows3, kspad,
-                        chunk // _LANE, interpret)
-
-    g = _SC_GROUP
-    item_chunk = items_sc // kspad
-    member_ids = (items_sc % kspad)[:, None] * g \
-        + jnp.arange(g, dtype=jnp.int32)[None, :]
-    keepm = mask & (member_ids < k)
-    payload = item_chunk[:, None] * kpad + jnp.minimum(member_ids, k)
-    chunk_of = jnp.broadcast_to(item_chunk[:, None], (cap_sc, g))
-    items, counts, capped, overflow = _pack_item_list(
-        keepm.reshape(-1), payload.reshape(-1), chunk_of.reshape(-1),
-        nc, cap, (nc - 1) * kpad + k)
-    capped = capped | sc_capped
-    t_bound = jnp.where(capped[:, None], 0.0,
-                        jnp.full((nc, chunk), jnp.inf))
-    counts = jnp.where(capped, 0, counts)
-    return items, counts, t_bound, overflow + sc_overflow, nc
+    return _union_items_budget(clusters, o_c, d_c, t_c, chunk, nc,
+                               kpad, cap, avg_items, sc_budget)
 
 
 def _union_items_budget(clusters: Clusters, o_c, d_c, t_c, chunk: int,
@@ -561,8 +442,7 @@ def _visited_mask(counts, chunk: int):
 
 def _anyhit_pass(clusters: Clusters, origins, dirs, t_max,
                  chunk_rows: int, avg_items: int,
-                 t_min: float, interpret: bool, sc_budget: int,
-                 exact: bool = False):
+                 t_min: float, interpret: bool, sc_budget: int):
     """One any-hit pass over the work-item grid. Returns (occluded bool
     (R,), unproven bool (R,)): unproven marks live rays whose un-occluded
     result lacks the exactness guarantee (a dropped supercluster or the
@@ -575,15 +455,14 @@ def _anyhit_pass(clusters: Clusters, origins, dirs, t_max,
     occ, unp = _slice_rays(
         lambda o, d, t: _anyhit_pass_one(clusters, o, d, t, chunk_rows,
                                          avg_items, t_min, interpret,
-                                         sc_budget, exact),
+                                         sc_budget),
         origins, dirs, t_max, chunk, avg_items)
     return occ[:r], unp[:r]
 
 
 def _anyhit_pass_one(clusters: Clusters, origins, dirs, t_max,
                      chunk_rows: int, avg_items: int,
-                     t_min: float, interpret: bool, sc_budget: int,
-                     exact: bool = False):
+                     t_min: float, interpret: bool, sc_budget: int):
     chunk = chunk_rows * _LANE
     k = clusters.cluster_count
     kpad = k + 1
@@ -591,7 +470,7 @@ def _anyhit_pass_one(clusters: Clusters, origins, dirs, t_max,
 
     items, counts, t_bound, _, nc = _union_items(
         clusters, origins, dirs, t_max, chunk, avg_items,
-        sc_budget=sc_budget, interpret=interpret, exact=exact)
+        sc_budget=sc_budget)
     cap = items.shape[0]
     rays, r = _pack_rays(origins, dirs, t_max, chunk)
     tab, aabb, _ = _padded_tables(clusters)
@@ -760,7 +639,7 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
         t2 = jnp.where(live2, t_max_b[idx], -1.0)
         occ2, unp2 = _anyhit_pass(
             clusters, origins[idx], dirs[idx], t2, rows2,
-            avg2, t_min, interpret, _EXHAUSTIVE_SC, exact=True)
+            avg2, t_min, interpret, _EXHAUSTIVE_SC)
         hit2 = (occ2 & live2).astype(jnp.int32)
         scatter_idx = jnp.where(live2, idx, jnp.int32(r))
         merged = occluded | (jnp.zeros((r,), jnp.int32)
@@ -776,8 +655,7 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
 
 def _closest_pass(clusters: Clusters, origins, dirs, t_max,
                   chunk_rows: int, avg_items: int,
-                  t_min: float, interpret: bool, sc_budget: int,
-                  exact: bool = False):
+                  t_min: float, interpret: bool, sc_budget: int):
     """One closest-hit pass over ray slices (SMEM-bounded). t_max: (R,)
     with -1 marking dead rays (the re-trace pass deadens already-proven
     rays this way). Returns (prim uint32 (R,), t (R,), unproven bool (R,),
@@ -791,15 +669,14 @@ def _closest_pass(clusters: Clusters, origins, dirs, t_max,
     prim, t, unp, bound = _slice_rays(
         lambda o, d, tm: _closest_pass_one(clusters, o, d, tm, chunk_rows,
                                            avg_items, t_min, interpret,
-                                           sc_budget, exact)[:4],
+                                           sc_budget)[:4],
         origins, dirs, t_max, chunk, avg_items)
     return prim[:r], t[:r], unp[:r], bound[:r]
 
 
 def _closest_pass_one(clusters: Clusters, origins, dirs, t_max,
                       chunk_rows: int, avg_items: int,
-                      t_min: float, interpret: bool, sc_budget: int,
-                      exact: bool = False):
+                      t_min: float, interpret: bool, sc_budget: int):
     """Single-slice closest hit. Also returns the cull artifacts
     (items, counts, rays, nc) so the attribute pass can reuse the SAME
     work-item coverage (its per-ray selected primitive is then covered by
@@ -811,7 +688,7 @@ def _closest_pass_one(clusters: Clusters, origins, dirs, t_max,
 
     items, counts, t_bound, _, nc = _union_items(
         clusters, origins, dirs, t_max, chunk, avg_items,
-        sc_budget=sc_budget, interpret=interpret, exact=exact)
+        sc_budget=sc_budget)
     cap = items.shape[0]
     rays, r = _pack_rays(origins, dirs, t_max, chunk)
     tab, aabb, sub = _padded_tables(clusters)
@@ -960,7 +837,7 @@ def trace_closest_fused(clusters: Clusters, origins, dirs,
         t2_max = jnp.where(live2, jnp.inf, -1.0)
         prim2, t2, unp2, _ = _closest_pass(
             clusters, origins[idx], dirs[idx], t2_max, rows2,
-            avg2, t_min, interpret, _EXHAUSTIVE_SC, exact=True)
+            avg2, t_min, interpret, _EXHAUSTIVE_SC)
         t1_sel = t1[idx]
         better = live2 & (t2 < t1_sel)
         t_sel = jnp.where(better, t2, t1_sel)
@@ -1241,7 +1118,7 @@ def trace_closest_attrs(clusters: Clusters, origins, dirs, ray_d_derivs,
         t2_max = jnp.where(live2, jnp.inf, -1.0)
         prim2, t2, unp2, _ = _closest_pass(
             clusters, origins[idx], dirs[idx], t2_max, rows2,
-            avg2, t_min, interpret, _EXHAUSTIVE_SC, exact=True)
+            avg2, t_min, interpret, _EXHAUSTIVE_SC)
         t1_sel = t1[idx]
         better = live2 & (t2 < t1_sel)
         t_sel = jnp.where(better, t2, t1_sel)
