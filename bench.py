@@ -37,6 +37,9 @@ def main():
                         help="primary supercluster cull budget")
     parser.add_argument("--shadow-sc", type=int, default=16,
                         help="shadow supercluster cull budget")
+    parser.add_argument("--materials", type=int, default=6,
+                        help="city material count (texture-atlas pressure; "
+                             "Bistro-class scenes carry hundreds)")
     parser.add_argument("--cluster-size", type=int, default=64,
                         help="triangles per traversal cluster")
     parser.add_argument("--retrace-factor", type=int, default=2,
@@ -67,11 +70,13 @@ def main():
     os.makedirs("data", exist_ok=True)
     # Scale-tagged filename: changing --buildings/--detail must regenerate,
     # not silently reuse a smaller cached scene (VERDICT r1 weak #4).
-    stem = f"{args.scene}_{args.buildings}x{args.detail}"
+    stem = f"{args.scene}_{args.buildings}x{args.detail}" + (
+        f"_m{args.materials}" if args.materials != 6 else "")
     vks = os.path.join("data", f"{stem}.vks")
     if not os.path.exists(vks):
         vks = write_city_scene("data", stem, n_buildings=args.buildings,
-                               detail=args.detail)
+                               detail=args.detail,
+                               n_materials=args.materials)
 
     # Street lantern lights along the road.
     lights = []

@@ -19,6 +19,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: the fast subset is compile-dominated
+# (many 2-30 s CPU compiles of stable test shapes); re-runs hit the
+# cache. Safe on the CPU backend only — core/jitcache.py documents the
+# measured axon hang; this conftest forces CPU above.
+from vulkan_renderer_tpu.core import jitcache  # noqa: E402
+
+jitcache.enable(min_compile_seconds=1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

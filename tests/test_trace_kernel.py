@@ -354,3 +354,29 @@ def test_pipeline_tile_order_matches_bruteforce():
     # reassociation differences plus rare 1-spp boundary flips.
     close = np.isclose(np.asarray(img), ref, atol=2e-3)
     assert close.mean() > 0.995, close.mean()
+
+
+def test_retrace_select_capacity_and_order():
+    """_retrace_select: order-preserving compaction, honest `missed`
+    counter when the static ray capacity binds."""
+    r = 40960
+    unproven = np.zeros(r, bool)
+    unproven[::3] = True  # 13654 unproven > cap = r//8 = 5120
+    idx, live, missed = tk._retrace_select(jnp.asarray(unproven), r)
+    idx, live = np.asarray(idx), np.asarray(live)
+    cap = max(2048, r // 8)
+    assert idx.shape == (cap,)
+    n_live = int(live.sum())
+    assert n_live == cap
+    # order-preserving: the first cap unproven indices, ascending
+    expect = np.flatnonzero(unproven)[:cap]
+    np.testing.assert_array_equal(idx[:n_live], expect)
+    assert int(missed) == int(unproven.sum()) - n_live
+    # plenty of capacity: everything selected, missed == 0
+    few = np.zeros(r, bool)
+    few[100:140] = True
+    idx2, live2, missed2 = tk._retrace_select(jnp.asarray(few), r)
+    assert int(missed2) == 0
+    assert int(np.asarray(live2).sum()) == 40
+    np.testing.assert_array_equal(np.asarray(idx2)[:40],
+                                  np.arange(100, 140))

@@ -16,7 +16,8 @@ from __future__ import annotations
 import os
 
 
-def enable(directory: str | None = None) -> str:
+def enable(directory: str | None = None,
+           min_compile_seconds: float = 5.0) -> str:
     import jax
 
     if directory is None:
@@ -28,5 +29,6 @@ def enable(directory: str | None = None) -> str:
     os.makedirs(directory, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", directory)
     # Cache anything that took meaningful compile time.
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_seconds)
     return directory

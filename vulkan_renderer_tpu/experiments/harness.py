@@ -316,9 +316,17 @@ def run_experiments(experiments, build_application=None, *,
             app.render_frame_sync()
             warmup.frame()
         app.timer.reset()
-        image = None
+        # Pipelined measurement, like the reference's vsync-off frame
+        # timer (frame_timer.c:47-72 with images in flight): dispatch
+        # asynchronously and let the bounded in-flight queue (which
+        # blocks on the N-old frame's stats) pace the loop. Draining the
+        # queue every frame instead adds a full host<->device roundtrip
+        # per frame (~90 ms through the axon relay — 30% inflation at
+        # the 1080p timing-sweep configs).
         for _ in range(max(measure_frames, 2)):
-            image = app.render_frame_sync()
+            app.render_frame_async()
+            app.timer.record()
+        image = app.render_frame_sync()
         frame_ms = app.timer.median_frame_time() * 1000.0
         stand_in = bool(getattr(app, "scene_stand_in", False)
                         or getattr(app, "layout_stand_in", False))

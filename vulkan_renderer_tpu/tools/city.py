@@ -18,11 +18,15 @@ from .export_scene import build_scene_mesh, checkerboard_texture
 
 
 def make_city(n_buildings: int = 600, seed: int = 7,
+              n_materials: int = 6,
               detail: int = 3) -> tuple:
     """Returns (tris, normals, uvs, material_indices, material_names).
 
     Buildings are boxes with `detail`-subdivided faces (more triangles,
-    similar look) on a ground plane; a handful of materials alternate.
+    similar look) on a ground plane. n_materials alternate across
+    buildings (max 256, u8 indices): the default 6 keeps the flagship
+    bench scene; Bistro-class texture pressure (scene.c:523-543 loads 3
+    BC textures for each of hundreds of materials) needs ~192.
     """
     rng = np.random.default_rng(seed)
     tris, norms, uvs, mats = [], [], [], []
@@ -55,7 +59,7 @@ def make_city(n_buildings: int = 600, seed: int = 7,
                     uvs.append(list(uvq))
                     mats.append(material)
 
-    n_materials = 6
+    n_materials = min(max(n_materials, 2), 256)
     # Ground.
     size = 220.0
     add_quad([-size, -size, 0], [size, -size, 0], [size, size, 0],
@@ -93,9 +97,10 @@ def make_city(n_buildings: int = 600, seed: int = 7,
 
 def write_city_scene(directory: str, stem: str = "city",
                      n_buildings: int = 600, texture_resolution: int = 64,
-                     detail: int = 3) -> str:
+                     detail: int = 3, n_materials: int = 6) -> str:
     os.makedirs(directory, exist_ok=True)
-    tris, norms, uvs, mats, names = make_city(n_buildings, detail=detail)
+    tris, norms, uvs, mats, names = make_city(n_buildings, detail=detail,
+                                              n_materials=n_materials)
     mesh = build_scene_mesh(tris, norms, uvs, mats, names)
     vks_path = os.path.join(directory, f"{stem}.vks")
     save_vks(vks_path, mesh)
