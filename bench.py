@@ -45,6 +45,23 @@ def main():
     parser.add_argument("--retrace-factor", type=int, default=2,
                         help="exactness re-trace budget multiplier "
                              "(1 disables the second pass)")
+    parser.add_argument("--retrace-frac", type=int, default=32,
+                        help="shadow re-trace ray capacity = rays//frac; "
+                             "the exhaustive cull pays on every slot, so "
+                             "this should track the unproven rate (~1% at "
+                             "the flagship)")
+    parser.add_argument("--retrace-closest-frac", type=int, default=64,
+                        help="primary re-trace ray capacity divisor "
+                             "(unproven rate ~0.2% at the flagship)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (jax.config.update "
+                             "before first use; env vars are too late "
+                             "once sitecustomize imported jax)")
+    parser.add_argument("--traversal", default="wavefront",
+                        choices=["wavefront", "pallas", "bruteforce"],
+                        help="'pallas' forces the Pallas tracers even on "
+                             "CPU (interpret mode — slow, used by the "
+                             "exactness-gate test)")
     parser.add_argument("--stop-after", default=None,
                         choices=["rays", "trace", "noise", "preamble",
                                  "shade", "shadowrays", "shadow"],
@@ -55,6 +72,8 @@ def main():
     args = parser.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from vulkan_renderer_tpu.core.settings import (PolygonSamplingTechnique,
                                                    RenderSettings,
@@ -92,13 +111,15 @@ def main():
                          light_texturing=tuple(0 for _ in lights),
                          light_vertex_counts=tuple(
                              l.vertex_count for l in lights),
-                         traversal="wavefront",
+                         traversal=args.traversal,
                          trace_chunk_rows=args.chunk_rows,
                          primary_m_budget=args.primary_budget,
                          shadow_m_budget=args.shadow_budget,
                          primary_sc_budget=args.primary_sc,
                          shadow_sc_budget=args.shadow_sc,
-                         retrace_factor=args.retrace_factor)
+                         retrace_factor=args.retrace_factor,
+                         retrace_shadow_frac=args.retrace_frac,
+                         retrace_closest_frac=args.retrace_closest_frac)
     camera = FirstPersonCamera(
         position_world_space=np.array([0.0, 0.0, 2.0], np.float32),
         rotation_x=0.55 * np.pi, rotation_z=0.5 * np.pi)
@@ -174,17 +195,9 @@ def main():
     scale = (1920 * 1080) / (args.width * args.height)
     ms_1080p = ms * scale
     tri_count = int(scene.triangle_positions.shape[0])
-    if uncertain or overflow:
-        # Exactness gate (VERDICT r2 #2): the re-trace should drive both
-        # counters to zero; a nonzero residual means the measured image
-        # may be missing hits/shadows and MUST NOT pass silently.
-        import sys
-        print(f"EXACTNESS FAILURE: uncertain={uncertain} "
-              f"overflow={overflow} after retrace_factor="
-              f"{args.retrace_factor} — raise budgets/factor",
-              file=sys.stderr)
+    exactness_failed = bool(uncertain or overflow)
     stage = f" stop_after={args.stop_after}" if args.stop_after else ""
-    print(json.dumps({
+    record = {
         "metric": f"ms/frame pipelined{stage} {args.width}x{args.height} "
                   f"{args.spp}spp shadows={not args.no_shadows} "
                   f"{args.scene} ({tri_count} tris, "
@@ -194,7 +207,22 @@ def main():
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(ms_1080p / 20.0, 4),
-    }))
+    }
+    if exactness_failed:
+        record["exactness_failed"] = True
+    print(json.dumps(record))
+    if exactness_failed:
+        # Hard exactness gate (VERDICT r3 #4): the re-trace must drive both
+        # counters to zero; a nonzero residual means the measured image may
+        # be missing hits/shadows. Fail the process — a green-looking bench
+        # with bad counters must not exist.
+        import sys
+        print(f"EXACTNESS FAILURE: uncertain={uncertain} "
+              f"overflow={overflow} after retrace_factor="
+              f"{args.retrace_factor} retrace_frac={args.retrace_frac} — "
+              f"raise budgets/factor or lower the frac",
+              file=sys.stderr)
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -345,14 +345,15 @@ _DIFFUSE_TECHNIQUES = [
     PolygonSamplingTechnique.BIQUADRATIC_COSINE_WARP_HART,
     PolygonSamplingTechnique.BIQUADRATIC_COSINE_WARP_CLIPPING_HART,
     PolygonSamplingTechnique.RECTANGLE_SOLID_ANGLE_URENA,
+    PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_ARVO,
 ]
 
 
 @pytest.mark.parametrize("tech", _DIFFUSE_TECHNIQUES)
 def test_fused_diffuse_techniques_match_reference(tech):
-    """The widened fused coverage (ops/soa_techniques.py): every
-    non-PSA-Arvo technique's DIFFUSE_ONLY path must match the vmapped
-    per-pixel implementation."""
+    """The widened fused coverage (ops/soa_techniques.py +
+    ops/soa_arvo_psa.py): every technique's DIFFUSE_ONLY path must match
+    the vmapped per-pixel implementation."""
     rng = np.random.RandomState(23)
     specs = [
         PolygonalLightSpec(
@@ -415,12 +416,30 @@ def test_fused_diffuse_techniques_match_reference(tech):
     scale = np.maximum(np.abs(b_r[fin]).max(), 1.0)
     np.testing.assert_allclose(base_f[fin], base_r[fin],
                                atol=2e-3 * scale, rtol=2e-3)
-    np.testing.assert_allclose(b_f[fin], b_r[fin], atol=2e-3 * scale,
-                               rtol=2e-3)
-    live = (np.abs(b_r[fin]).sum(-1) > 1e-6)
-    np.testing.assert_allclose(d_f[fin][live], d_r[fin][live], atol=1e-3)
-    np.testing.assert_allclose(t_f[fin][live], t_r[fin][live], rtol=1e-3,
-                               atol=1e-3)
+    if tech == PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_ARVO:
+        # Arvo's azimuth-space sector selection flips for samples landing
+        # exactly on a sector boundary: the SoA path's Cephes atan differs
+        # from XLA's arctan2 by ~1ulp, enough to move a boundary sample
+        # into the neighboring sector (both results are valid samples of
+        # the same density). Allow a <0.5% flip fraction, exact elsewhere.
+        close = np.isclose(b_f[fin], b_r[fin], atol=2e-3 * scale, rtol=2e-3)
+        assert close.mean() > 0.995, close.mean()
+        live = np.abs(b_r[fin]).sum(-1) > 1e-6
+        # Boundary flips move the sampled direction to the neighboring
+        # sector; both are valid samples. Flip fraction must stay tiny.
+        dir_err = np.abs(d_f[fin] - d_r[fin]).max(-1)
+        assert (dir_err[live] > 1e-3).mean() < 0.02, dir_err[live].max()
+        ok = live & (dir_err <= 1e-3)
+        np.testing.assert_allclose(t_f[fin][ok], t_r[fin][ok], rtol=1e-3,
+                                   atol=1e-3)
+    else:
+        np.testing.assert_allclose(b_f[fin], b_r[fin], atol=2e-3 * scale,
+                                   rtol=2e-3)
+        live = np.abs(b_r[fin]).sum(-1) > 1e-6
+        np.testing.assert_allclose(d_f[fin][live], d_r[fin][live],
+                                   atol=1e-3)
+        np.testing.assert_allclose(t_f[fin][live], t_r[fin][live],
+                                   rtol=1e-3, atol=1e-3)
 
 
 @pytest.mark.parametrize("strategy", [SamplingStrategy.DIFFUSE_ONLY,

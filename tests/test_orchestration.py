@@ -138,6 +138,34 @@ def test_timing_layouts_differ():
     np.testing.assert_allclose(total, a[0].radiant_flux, rtol=1e-5)
 
 
+@pytest.mark.slow
+def test_bench_exactness_gate_fails_hard(tmp_path):
+    """VERDICT r3 #4: bench.py must FAIL (nonzero exit + exactness_failed
+    in the JSON) when the tracer counters stay nonzero — here forced by
+    m_budget=1 with the re-trace disabled."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=repo + os.pathsep + os.environ.get("PYTHONPATH",
+                                                             ""))
+    cmd = [sys.executable, os.path.join(repo, "bench.py"), "--cpu",
+           "--traversal", "pallas", "--width", "64", "--height", "8",
+           "--buildings", "2", "--detail", "3", "--frames", "1",
+           "--chunk-rows", "1", "--primary-budget", "1",
+           "--shadow-budget", "1", "--primary-sc", "1", "--shadow-sc", "1",
+           "--retrace-factor", "1"]
+    proc = subprocess.run(cmd, cwd=str(tmp_path), env=env,
+                          capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 2, (proc.stdout, proc.stderr)
+    assert "EXACTNESS FAILURE" in proc.stderr
+    record = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert record.get("exactness_failed") is True
+    assert "uncertain=0, overflow=0" not in record["metric"]
+
+
 def test_run_experiments_protocol(app, tmp_path):
     exp = Experiment(
         width=16, height=16, scene="cornell_box",

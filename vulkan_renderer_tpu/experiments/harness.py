@@ -385,7 +385,9 @@ def main(argv=None) -> int:
                         "_cpu so no figure claims a TPU measurement")
     parser.add_argument("--results-csv", default=None,
                         help="append one CSV row per result (default: "
-                        "<output-dir>/results.csv)")
+                        "results/results.csv — a TRACKED directory, so "
+                        "evidence survives; round 3 lost its entire "
+                        "figure-suite run to the data/ gitignore)")
     args = parser.parse_args(argv)
     if args.cpu:
         import jax
@@ -434,16 +436,21 @@ def main(argv=None) -> int:
         picked = [(i, dataclasses.replace(
             e, width=args.width or e.width, height=args.height or e.height))
             for i, e in picked]
-    csv_path = args.results_csv or os.path.join(args.output_dir,
-                                                "results.csv")
+    csv_path = args.results_csv or os.path.join("results", "results.csv")
+    exactness_rc = 0
     for i, e in picked:
         result = run_experiments(
             [e], min_warmup_frames=args.warmup_frames,
             measure_frames=args.measure_frames)[0]
         tag = " [STAND-IN]" if result.stand_in else ""
         if result.primary_uncertain or result.shadow_overflow:
-            tag += (f" [EXACTNESS: uncertain={result.primary_uncertain} "
+            # Hard gate (VERDICT r3 #4): the counters still land in the
+            # CSV row below, but the run FAILS — a figure rendered with
+            # missing hits/shadows must not pass as a green result.
+            tag += (f" [EXACTNESS FAILURE: "
+                    f"uncertain={result.primary_uncertain} "
                     f"overflow={result.shadow_overflow}]")
+            exactness_rc = 2
         print(f"{i:03d}: {result.frame_time_ms:.3f} ms -> "
               f"{result.screenshot_path}{tag}")
         import jax as _jax
@@ -463,7 +470,7 @@ def main(argv=None) -> int:
                 _jax.default_backend(), int(result.stand_in),
                 result.primary_uncertain, result.shadow_overflow,
                 result.screenshot_path)) + "\n")
-    return 0
+    return exactness_rc
 
 
 if __name__ == "__main__":

@@ -58,9 +58,9 @@ _LIGHT_SCALARS = _LS_FAN + 6 * 2
 def fused_supported(static, settings: RenderSettings) -> bool:
     """Whether this (static, settings) combination has a fused kernel.
 
-    Coverage: every technique except PROJECTED_SOLID_ANGLE_ARVO has a
-    DIFFUSE_ONLY fused path (the timing-sweep configuration,
-    experiment_list.c:364-409); the PSA pair additionally supports
+    Coverage: ALL 13 techniques have a DIFFUSE_ONLY fused path (the
+    timing-sweep configuration, experiment_list.c:364-409 — Arvo PSA via
+    ops/soa_arvo_psa.py); the PSA pair additionally supports
     DIFFUSE_SPECULAR_MIS. Everything else (error displays, textured/IES
     lights, linear lights, remaining strategies) falls back to the
     vmapped per-pixel pipeline."""
@@ -69,9 +69,6 @@ def fused_supported(static, settings: RenderSettings) -> bool:
     psa = settings.polygon_sampling_technique in (
         PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE,
         PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_BIASED)
-    if settings.polygon_sampling_technique \
-            == PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_ARVO:
-        return False
     allowed = (SamplingStrategy.DIFFUSE_ONLY,
                SamplingStrategy.DIFFUSE_SPECULAR_MIS) if psa \
         else (SamplingStrategy.DIFFUSE_ONLY,)
@@ -280,6 +277,51 @@ def _shade_one_light_diffuse(px, light: _LightScalars, nv: int,
     return base, [(vscale(inv_n, b), d, t) for (b, d, t) in slots]
 
 
+def _shade_one_light_arvo_psa(px, light: _LightScalars, nv: int,
+                              settings: RenderSettings, noise):
+    """DIFFUSE_ONLY Arvo PSA (related-work baseline), SoA twin of the
+    vmapped branch in render/shading.py (one_sample_arvo; reference
+    polygon_sampling_related_work.glsl:509-992). Like the PSA pair it
+    flips the shading frame's y when the shading point is behind the
+    light plane (shading_pass.frag.glsl:444-452)."""
+    from ..ops.soa_arvo_psa import prepare_arvo_psa_soa, sample_arvo_psa_soa
+    n = settings.sample_count
+    side = (vdot(px["position"], light.plane[:3]) + light.plane[3])
+    flip = jnp.where(side < 0.0, np.float32(-1.0), np.float32(1.0))
+    rows = [tuple(px[f"w2s{i}{j}"] for j in range(3)) for i in range(3)]
+    trans = [px[f"w2s{i}3"] for i in range(3)]
+    rows[1] = tuple(flip * c for c in rows[1])
+    trans[1] = flip * trans[1]
+
+    verts_shading = [_affine(rows, trans, light.verts[k])
+                     for k in range(nv)]
+    clipped, ccount = soa.clip_soa(verts_shading, nv)
+    poly = prepare_arvo_psa_soa(clipped, ccount, nv + 1)
+    psa = poly.psa
+    diffuse_ok = (ccount > 0) & (psa > 0.0)
+    rcp_psa = 1.0 / jnp.where(psa > 0.0, psa, 1.0)
+
+    zero = jnp.zeros_like(psa)
+    zero3 = (zero, zero, zero)
+    slots = []
+    for s in range(n):
+        r0, r1 = noise[s]
+        d_sh = sample_arvo_psa_soa(poly, r0, r1, 3)
+        density = d_sh[2] * rcp_psa
+        d_world = _rot_t_apply(rows, d_sh)
+        value1, lambert, t_max = _rad_brdf_soa(px, light, d_world)
+        scale = jnp.where(density > 0.0,
+                          lambert / jnp.where(density > 0.0, density, 1.0),
+                          0.0)
+        # Horizon samples (z <= 1e-5) are dropped: fp32 fireflies, same
+        # deviation as the vmapped path (render/shading.py one_sample_arvo).
+        gate = diffuse_ok & px["hit"] & (d_sh[2] > np.float32(1e-5))
+        b = vwh(gate, vscale(scale, value1), zero3)
+        slots.append((b, d_world, t_max))
+    inv_n = np.float32(1.0 / n)
+    return zero3, [(vscale(inv_n, b), d, t) for (b, d, t) in slots]
+
+
 def _shade_one_light(px, light: _LightScalars, nv: int,
                      settings: RenderSettings, mis_visibility_estimate,
                      noise):
@@ -288,6 +330,9 @@ def _shade_one_light(px, light: _LightScalars, nv: int,
     px: dict of planes (see _pack_planes). noise: list of (r0, r1) plane
     pairs, one per noise pair slot for this light. Returns
     (base vec3, [per ray slot (b vec3, dir vec3, t_max)])."""
+    if settings.polygon_sampling_technique \
+            == PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_ARVO:
+        return _shade_one_light_arvo_psa(px, light, nv, settings, noise)
     if settings.polygon_sampling_technique not in (
             PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE,
             PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_BIASED):

@@ -350,7 +350,8 @@ def _render_frame_body(scene, static, settings, constants, width, height,
                     m_budget=static.primary_m_budget,
                     sc_budget=static.primary_sc_budget,
                     interpret=trace_interpret,
-                    retrace_factor=static.retrace_factor)
+                    retrace_factor=static.retrace_factor,
+                    retrace_frac=static.retrace_closest_frac)
             attr_planes, fix_residual = _fixup_stale_attrs(
                 scene, constants, attr_planes, stale, primitive_index,
                 ray_dirs)
@@ -370,7 +371,8 @@ def _render_frame_body(scene, static, settings, constants, width, height,
                 m_budget=static.primary_m_budget,
                 sc_budget=static.primary_sc_budget,
                 interpret=trace_interpret,
-                retrace_factor=static.retrace_factor)
+                retrace_factor=static.retrace_factor,
+                retrace_frac=static.retrace_closest_frac)
     elif traversal == "wavefront":
         primitive_index, _, primary_uncertain = trace_closest(
             scene.clusters, constants.camera_position, ray_dirs,
@@ -498,7 +500,8 @@ def _render_frame_body(scene, static, settings, constants, width, height,
                 m_budget=static.shadow_m_budget,
                 sc_budget=static.shadow_sc_budget,
                 interpret=trace_interpret,
-                retrace_factor=static.retrace_factor)
+                retrace_factor=static.retrace_factor,
+                retrace_frac=static.retrace_shadow_frac)
         elif traversal == "wavefront":
             occluded, shadow_overflow = trace_anyhit(
                 scene.clusters, flat_origins, flat_dirs, flat_tmax,

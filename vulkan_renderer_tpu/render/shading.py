@@ -93,6 +93,15 @@ class SceneStatic:
     # free when the first pass is exact). 1 disables — counters then
     # report first-pass overflow as in round 2.
     retrace_factor: int = 2
+    # Re-trace ray capacity = megabatch_rays // frac (min 2048). The
+    # re-trace pays its dense exhaustive cull on ALL capacity slots, so
+    # oversizing it is pure cost: the flagship shadow megabatch leaves
+    # ~1% of rays unproven (frac 32 = 3x headroom); primary closest runs
+    # ~0.2% (frac 64). Rays beyond the capacity stay unproven and show up
+    # in the overflow/uncertain counters — the bench exactness gate fails
+    # hard on them, so a too-aggressive frac is loud, never silent.
+    retrace_shadow_frac: int = 32
+    retrace_closest_frac: int = 64
     # Material-sampler anisotropic filtering taps (reference:
     # scene.c:546-557 enables maxAnisotropy=16 in hardware). Default 1 =
     # isotropic trilinear: each extra tap is a full trilinear gather per

@@ -613,7 +613,8 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
                        chunk_rows: int = 16, m_budget: int = 32,
                        t_min: float = 1.0e-3, interpret: bool = False,
                        sc_budget: int = _SC_BUDGET,
-                       retrace_factor: int = _RETRACE_BUDGET_SCALE):
+                       retrace_factor: int = _RETRACE_BUDGET_SCALE,
+                       retrace_frac: int = _RETRACE_RAY_FRAC):
     """Any-hit (shadow) test. Returns (occluded bool (R,), overflow ()).
 
     Exactness re-trace (the reference's ray queries are exact, period —
@@ -622,7 +623,9 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
     re-traced EXHAUSTIVELY (all superclusters, `retrace_factor`-scaled
     item capacity), under lax.cond so exact frames pay nothing. overflow
     counts rays still unproven after the re-trace — only the two static
-    re-trace capacities can contribute."""
+    re-trace capacities can contribute. retrace_frac sets the compaction
+    capacity (rays // frac): the exhaustive cull pays on every slot, so
+    the capacity should track the pass's real unproven rate."""
     origins = jnp.broadcast_to(origins, dirs.shape)
     occluded, unproven = _anyhit_pass(clusters, origins, dirs, t_max,
                                       chunk_rows, m_budget, t_min,
@@ -635,7 +638,7 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
     avg2 = max(m_budget * retrace_factor, _RETRACE_MIN_ITEMS)
 
     def do_retrace(_):
-        idx, live2, missed = _retrace_select(unproven, r)
+        idx, live2, missed = _retrace_select(unproven, r, retrace_frac)
         t2 = jnp.where(live2, t_max_b[idx], -1.0)
         occ2, unp2 = _anyhit_pass(
             clusters, origins[idx], dirs[idx], t2, rows2,
@@ -812,7 +815,8 @@ def trace_closest_fused(clusters: Clusters, origins, dirs,
                         chunk_rows: int = 16, m_budget: int = 48,
                         t_min: float = 1.0e-3, interpret: bool = False,
                         sc_budget: int = 32,
-                        retrace_factor: int = _RETRACE_BUDGET_SCALE):
+                        retrace_factor: int = _RETRACE_BUDGET_SCALE,
+                        retrace_frac: int = _RETRACE_CLOSEST_FRAC):
     """Closest hit. Returns (prim uint32 (R,), t (R,), uncertain ()).
 
     Exactness re-trace: rays whose pass-1 best t exceeds the first-
@@ -833,7 +837,7 @@ def trace_closest_fused(clusters: Clusters, origins, dirs,
     avg2 = max(m_budget * retrace_factor, _RETRACE_MIN_ITEMS)
 
     def do_retrace(_):
-        idx, live2, missed = _retrace_select(unp1, r, _RETRACE_CLOSEST_FRAC)
+        idx, live2, missed = _retrace_select(unp1, r, retrace_frac)
         t2_max = jnp.where(live2, jnp.inf, -1.0)
         prim2, t2, unp2, _ = _closest_pass(
             clusters, origins[idx], dirs[idx], t2_max, rows2,
@@ -1070,7 +1074,8 @@ def trace_closest_attrs(clusters: Clusters, origins, dirs, ray_d_derivs,
                         chunk_rows: int = 16, m_budget: int = 48,
                         t_min: float = 1.0e-3, interpret: bool = False,
                         sc_budget: int = 32,
-                        retrace_factor: int = _RETRACE_BUDGET_SCALE):
+                        retrace_factor: int = _RETRACE_BUDGET_SCALE,
+                        retrace_frac: int = _RETRACE_CLOSEST_FRAC):
     """Closest hit + deferred attribute fetch + exactness re-trace.
 
     Returns (prim uint32 (R,), t (R,), uncertain (), attrs
@@ -1114,7 +1119,7 @@ def trace_closest_attrs(clusters: Clusters, origins, dirs, ray_d_derivs,
     avg2 = max(m_budget * retrace_factor, _RETRACE_MIN_ITEMS)
 
     def do_retrace(_):
-        idx, live2, missed = _retrace_select(unp1, r, _RETRACE_CLOSEST_FRAC)
+        idx, live2, missed = _retrace_select(unp1, r, retrace_frac)
         t2_max = jnp.where(live2, jnp.inf, -1.0)
         prim2, t2, unp2, _ = _closest_pass(
             clusters, origins[idx], dirs[idx], t2_max, rows2,
