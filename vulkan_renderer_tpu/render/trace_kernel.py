@@ -579,6 +579,19 @@ _RETRACE_BUDGET_SCALE = 2
 _EXHAUSTIVE_SC = 1 << 20    # clamped to the supercluster count
 
 
+def _retrace_avg_items(clusters: Clusters, m_budget: int,
+                       retrace_factor: int) -> int:
+    """Per-chunk item average for the exhaustive re-trace. The dense
+    cull's per-chunk union size scales with the scene's CLUSTER COUNT
+    (long shadow rays cross a fixed fraction of the scene), so a flat
+    floor that fits a 4.7k-cluster scene starves a 15.6k-cluster one:
+    measured at the 1M-tri city, every re-trace chunk item-capped and
+    521k rays stayed unproven. cluster_count//16 ~= 980 items/chunk at
+    1M tris, ~290 at 300k."""
+    return max(m_budget * retrace_factor, _RETRACE_MIN_ITEMS,
+               clusters.cluster_count // 16)
+
+
 def _compact_indices(mask, capacity: int):
     """Indices of the first `capacity` set lanes of mask, in order.
     Returns (idx (capacity,) i32, count ()): slots >= count hold 0 and
@@ -635,7 +648,7 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
     t_max_b = jnp.broadcast_to(jnp.asarray(t_max), dirs.shape[:1])
     r = dirs.shape[0]
     rows2 = min(chunk_rows, _RETRACE_ROWS)
-    avg2 = max(m_budget * retrace_factor, _RETRACE_MIN_ITEMS)
+    avg2 = _retrace_avg_items(clusters, m_budget, retrace_factor)
 
     def do_retrace(_):
         idx, live2, missed = _retrace_select(unproven, r, retrace_frac)
@@ -834,7 +847,7 @@ def trace_closest_fused(clusters: Clusters, origins, dirs,
         return prim1, t1, jnp.sum(unp1, dtype=jnp.int32)
     r = dirs.shape[0]
     rows2 = min(chunk_rows, _RETRACE_ROWS)
-    avg2 = max(m_budget * retrace_factor, _RETRACE_MIN_ITEMS)
+    avg2 = _retrace_avg_items(clusters, m_budget, retrace_factor)
 
     def do_retrace(_):
         idx, live2, missed = _retrace_select(unp1, r, retrace_frac)
@@ -1116,7 +1129,7 @@ def trace_closest_attrs(clusters: Clusters, origins, dirs, ray_d_derivs,
     if retrace_factor <= 1:
         return prim1, t1, jnp.sum(unp1, dtype=jnp.int32), attrs, no_stale
     rows2 = min(chunk_rows, _RETRACE_ROWS)
-    avg2 = max(m_budget * retrace_factor, _RETRACE_MIN_ITEMS)
+    avg2 = _retrace_avg_items(clusters, m_budget, retrace_factor)
 
     def do_retrace(_):
         idx, live2, missed = _retrace_select(unp1, r, retrace_frac)
