@@ -131,6 +131,27 @@ def positive_atan_soa(t, biased: bool):
                                    np.float32(0.0))
 
 
+def atan2_soa(y, x):
+    """jnp.arctan2 twin built on atan_soa: the atan2 primitive has no
+    Pallas TPU lowering (measured NotImplementedError on v5e), so every
+    in-kernel azimuth must come through here."""
+    safe_x = jnp.where(x != 0.0, x, 1.0)
+    base = atan_soa(y / safe_x)
+    # x < 0: shift by +/- pi toward y's sign (arctan2(+-0, -1) = +-pi).
+    neg_y = (y < 0.0) | (jnp.signbit(y) & (y == 0.0))
+    pi = np.float32(M_PI)
+    shifted = base + jnp.where(neg_y, -pi, pi)
+    res = jnp.where(x > 0.0, base, shifted)
+    on_axis = jnp.where(y == 0.0,
+                        jnp.where(x >= 0.0, 0.0,
+                                  jnp.where(neg_y, -pi, pi)),
+                        jnp.where(y > 0.0, np.float32(M_HALF_PI),
+                                  np.float32(-M_HALF_PI)))
+    return jnp.where(x == 0.0,
+                     jnp.where(y == 0.0, jnp.zeros_like(base), on_axis),
+                     jnp.where(y == 0.0, on_axis, res))
+
+
 # ---------------------------------------------------------------------------
 # Polygon clipping to z >= 0 (twin of ops/clipping.py clip_polygon;
 # reference semantics polygon_clipping.glsl:19-225)

@@ -16,30 +16,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .math_utils import M_HALF_PI, M_PI
-from .soa import (atan_soa, cross3_fast, mix_fma, positive_atan_soa, vwh,
+from .math_utils import M_PI
+from .soa import (atan2_soa, cross3_fast, mix_fma, positive_atan_soa, vwh,
                   wh)
 
 _PI = np.float32(M_PI)
 _TWO_PI = np.float32(2.0 * M_PI)
-
-
-def _atan2_soa(y, x):
-    """jnp.arctan2 twin from atan_soa (Mosaic-safe planes)."""
-    safe_x = jnp.where(x != 0.0, x, 1.0)
-    base = atan_soa(y / safe_x)
-    # x < 0: shift by +/- pi toward y's sign (arctan2(+-0, -1) = +-pi).
-    neg_y = (y < 0.0) | (jnp.signbit(y) & (y == 0.0))
-    shifted = base + jnp.where(neg_y, -_PI, _PI)
-    res = jnp.where(x > 0.0, base, shifted)
-    on_axis = jnp.where(y == 0.0, jnp.where(x >= 0.0, 0.0,
-                                            jnp.where(neg_y, -_PI, _PI)),
-                        jnp.where(y > 0.0, np.float32(M_HALF_PI),
-                                  np.float32(-M_HALF_PI)))
-    return jnp.where(x == 0.0,
-                     jnp.where(y == 0.0, jnp.where(neg_y, -_PI, _PI) * 0.0,
-                               on_axis),
-                     jnp.where(y == 0.0, on_axis, res))
 
 
 def _normalize3(v):
@@ -130,7 +112,7 @@ def prepare_arvo_psa_soa(verts, count, m: int) -> ArvoPsaSoa:
     active = [k < count for k in range(m)]
     zero = jnp.zeros_like(v[0][0])
 
-    az = [_atan2_soa(v[k][1], v[k][0]) for k in range(m)]
+    az = [atan2_soa(v[k][1], v[k][0]) for k in range(m)]
     az0 = az[0]
     for k in range(m):
         a = jnp.where(az[k] > az0 + _PI, az[k] - _TWO_PI, az[k])

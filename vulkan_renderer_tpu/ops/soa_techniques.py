@@ -18,7 +18,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .soa import (cross3, mix_fma, positive_atan_soa, vadd, vdot, vnormalize,
+from .soa import (atan2_soa, cross3, mix_fma, positive_atan_soa, vadd, vdot,
+                  vnormalize,
                   vscale, vsub, vwh, wh)
 
 F = np.float32
@@ -523,7 +524,9 @@ def solve_cubic_soa(c0, c1, c2, c3):
     sqrt_abs = jnp.sqrt(jnp.abs(disc))
     dep0 = -2.0 * n2 * delta0 + delta1
     dep1 = delta0
-    theta = jnp.arctan2(sqrt_abs, -dep0) * F(1.0 / 3.0)
+    # atan2 and cbrt primitives have no Pallas TPU lowering (measured on
+    # v5e); use the SoA atan2 and an exp/log cube root.
+    theta = atan2_soa(sqrt_abs, -dep0) * F(1.0 / 3.0)
     cr_cos = jnp.cos(theta)
     cr_sin = jnp.sin(theta)
     sqrt_075 = F(np.sqrt(0.75))
@@ -533,7 +536,12 @@ def solve_cubic_soa(c0, c1, c2, c3):
     r2 = (sqrt_075 * cr_sin - 0.5 * cr_cos) * scale - n2
     signed_sqrt = jnp.where(dep0 < 0.0, sqrt_abs, -sqrt_abs)
     quad_root = 0.5 * (signed_sqrt - dep0)
-    cube0 = jnp.cbrt(quad_root)
+    abs_qr = jnp.abs(quad_root)
+    cube0_mag = jnp.exp(jnp.log(jnp.where(abs_qr > 0.0, abs_qr, 1.0))
+                        * F(1.0 / 3.0))
+    cube0 = jnp.where(abs_qr > 0.0,
+                      jnp.where(quad_root < 0.0, -cube0_mag, cube0_mag),
+                      0.0)
     cube1 = -dep1 / jnp.where(cube0 != 0.0, cube0, 1.0)
     cube1 = jnp.where(cube0 != 0.0, cube1, 0.0)
     root1 = cube0 + cube1 - n2
