@@ -444,12 +444,19 @@ def test_fused_diffuse_techniques_match_reference(tech):
 
 @pytest.mark.parametrize("strategy", [SamplingStrategy.DIFFUSE_ONLY,
                                       SamplingStrategy.DIFFUSE_SPECULAR_MIS])
+@pytest.mark.parametrize("mixed", [False, True])
 @pytest.mark.slow
-def test_fused_resolved_matches_slots(strategy):
+def test_fused_resolved_matches_slots(strategy, mixed):
     """The resolved (no-shadow) light-grid kernel must equal base +
     sum(slots) of the slot-exporting kernel: with trace_shadow_rays=False
-    every slot's visibility is 1, so both compute the same estimator."""
+    every slot's visibility is 1, so both compute the same estimator.
+    mixed=True exercises the per-nv group launches (VERDICT r3 #10: mixed
+    vertex counts previously fell back to the slot-export kernel)."""
     rng = np.random.RandomState(11)
+    penta = np.array([[-1, -1], [1, -1], [1.2, 0.4], [0, 1.1], [-1.3, 0.6]],
+                     np.float32)
+    tri = np.array([[-1, -1], [1, -1], [0, 1]], np.float32)
+    shapes = [penta, None, tri] if mixed else [None, None, None]
     specs = []
     for i in range(3):
         specs.append(PolygonalLightSpec(
@@ -457,10 +464,13 @@ def test_fused_resolved_matches_slots(strategy):
                                  np.float32),
             rotation_angles=np.array([np.pi, 0.2 * i, 0], np.float32),
             scaling_x=0.5 + 0.2 * i, scaling_y=0.7,
-            radiant_flux=np.array([5.0, 4.0, 3.0], np.float32) * (i + 1)))
+            radiant_flux=np.array([5.0, 4.0, 3.0], np.float32) * (i + 1),
+            **({"vertices_plane_space": shapes[i]}
+               if shapes[i] is not None else {})))
     lights, data, ltc = _make_setup(rng, specs, p=160)
     static = SceneStatic(light_count=3, light_texturing=(0, 0, 0),
-                         light_vertex_counts=(4, 4, 4))
+                         light_vertex_counts=(5, 4, 3) if mixed
+                         else (4, 4, 4))
     settings = RenderSettings(
         sampling_strategy=strategy,
         polygon_sampling_technique=(

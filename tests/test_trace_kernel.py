@@ -356,6 +356,27 @@ def test_pipeline_tile_order_matches_bruteforce():
     assert close.mean() > 0.995, close.mean()
 
 
+def test_budget_validation_messages():
+    """Nonsense budgets must raise a readable ValueError, not a shape
+    error deep in Pallas (VERDICT r3 weak #9)."""
+    rng = np.random.RandomState(4)
+    tris = _scene(rng, t=64)
+    clusters = wf.build_clusters(tris, cluster_size=16)
+    o, d, tm = _rays(rng, n=128)
+    with pytest.raises(ValueError, match="m_budget"):
+        tk.trace_anyhit_fused(clusters, o, d, tm, m_budget=0,
+                              interpret=True)
+    with pytest.raises(ValueError, match="chunk_rows"):
+        tk.trace_closest_fused(clusters, o, d, chunk_rows=0,
+                               interpret=True)
+    with pytest.raises(ValueError, match="retrace_frac"):
+        tk.trace_closest_fused(clusters, o, d, retrace_frac=0,
+                               interpret=True)
+    with pytest.raises(ValueError, match="sc_budget"):
+        tk.trace_anyhit_fused(clusters, o, d, tm, sc_budget=-1,
+                              interpret=True)
+
+
 def test_retrace_select_capacity_and_order():
     """_retrace_select: order-preserving compaction, honest `missed`
     counter when the static ray capacity binds."""

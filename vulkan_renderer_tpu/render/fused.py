@@ -700,14 +700,13 @@ def fused_resolved_supported(static, settings: RenderSettings) -> bool:
     in-register instead of exporting 7 planes per ray slot. The light
     axis becomes a grid dimension (one light per step), so the 128-light
     timing-sweep cases (experiment_list.c:364-409) compile O(1) in light
-    count. Requires a uniform vertex count across lights (the per-step
-    kernel body is specialized on one static nv; the sweep's layouts are
-    uniform n-gons)."""
+    count. Mixed vertex counts run as one kernel launch per distinct nv
+    over that group's lights (the per-step body is specialized on a
+    static nv; grid order inside a group is free because the per-light
+    contributions just sum)."""
     if settings.trace_shadow_rays:
         return False
-    if not fused_supported(static, settings):
-        return False
-    return len(set(static.light_vertex_counts)) == 1
+    return fused_supported(static, settings)
 
 
 @functools.partial(jax.jit, static_argnames=("static", "settings",
@@ -723,8 +722,9 @@ def fused_light_shading_resolved(data, ltc, hit, noise_pairs, light_scalars,
     and accumulates into a 3-plane output block (revisited across the
     innermost light dimension). Per-light scalars are read from SMEM at
     the traced light index; per-light noise planes arrive via the
-    BlockSpec index map. Returns base (P, 3)."""
-    nv = static.light_vertex_counts[0]
+    BlockSpec index map. Mixed vertex counts run one launch per distinct
+    nv over that group's lights (contributions sum, so splitting the
+    light axis across launches is exact). Returns base (P, 3)."""
     # Equals render/shading.py pairs_per_light for the fused strategies.
     ppl = rays_per_light_fused(settings)
     n_lights = static.light_count
@@ -752,46 +752,66 @@ def fused_light_shading_resolved(data, ltc, hit, noise_pairs, light_scalars,
     mis_arr = jnp.reshape(jnp.asarray(mis_visibility_estimate,
                                       jnp.float32), (1, 1))
 
-    def kernel(planes_ref, noise_ref, ls_ref, mis_ref, out_ref):
-        li = pl.program_id(1)
+    def one_group(nv: int, noise_g, ls_g):
+        ng = ls_g.shape[0]
 
-        @pl.when(li == 0)
-        def _():
-            out_ref[...] = jnp.zeros_like(out_ref)
+        def kernel(planes_ref, noise_ref, ls_ref, mis_ref, out_ref):
+            li = pl.program_id(1)
 
-        px = _unpack_px(planes_ref[...])
-        light = _read_light(ls_ref, li, nv)
-        pair_planes = [(noise_ref[0, 2 * q], noise_ref[0, 2 * q + 1])
-                       for q in range(ppl)]
-        lbase, slots = _shade_one_light(px, light, nv, settings,
-                                        mis_ref[0, 0], pair_planes)
-        total = lbase
-        for (b, _, _) in slots:
-            total = vadd(total, b)
-        out_ref[...] += jnp.stack([total[0], total[1], total[2]], axis=0)
+            @pl.when(li == 0)
+            def _():
+                out_ref[...] = jnp.zeros_like(out_ref)
 
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((3, rows, lane), jnp.float32),
-        grid=(rows // tile_rows, n_lights),
-        in_specs=[
-            pl.BlockSpec((nin, tile_rows, lane), lambda i, li: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * ppl, tile_rows, lane),
-                         lambda i, li: (li, 0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(light_scalars.shape, lambda i, li: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, li: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((3, tile_rows, lane), lambda i, li: (0, i, 0),
-                               memory_space=pltpu.VMEM),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-            dimension_semantics=("parallel", "arbitrary")),
-        interpret=interpret,
-    )(planes, noise, light_scalars, mis_arr)
+            px = _unpack_px(planes_ref[...])
+            light = _read_light(ls_ref, li, nv)
+            pair_planes = [(noise_ref[0, 2 * q], noise_ref[0, 2 * q + 1])
+                           for q in range(ppl)]
+            lbase, slots = _shade_one_light(px, light, nv, settings,
+                                            mis_ref[0, 0], pair_planes)
+            total = lbase
+            for (b, _, _) in slots:
+                total = vadd(total, b)
+            out_ref[...] += jnp.stack([total[0], total[1], total[2]],
+                                      axis=0)
+
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((3, rows, lane), jnp.float32),
+            grid=(rows // tile_rows, ng),
+            in_specs=[
+                pl.BlockSpec((nin, tile_rows, lane),
+                             lambda i, li: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2 * ppl, tile_rows, lane),
+                             lambda i, li: (li, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(ls_g.shape, lambda i, li: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i, li: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((3, tile_rows, lane),
+                                   lambda i, li: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+                dimension_semantics=("parallel", "arbitrary")),
+            interpret=interpret,
+        )(planes, noise_g, ls_g, mis_arr)
+
+    groups: dict[int, list[int]] = {}
+    for i, nv in enumerate(static.light_vertex_counts):
+        groups.setdefault(nv, []).append(i)
+    out = None
+    for nv, idx in sorted(groups.items()):
+        if idx == list(range(n_lights)):
+            noise_g, ls_g = noise, light_scalars
+        else:
+            sel = jnp.asarray(idx, jnp.int32)
+            noise_g = noise[sel]
+            ls_g = light_scalars[sel]
+        g = one_group(nv, noise_g, ls_g)
+        out = g if out is None else out + g
 
     return out.reshape(3, p_pad)[:, :p].T
 

@@ -579,6 +579,24 @@ _RETRACE_BUDGET_SCALE = 2
 _EXHAUSTIVE_SC = 1 << 20    # clamped to the supercluster count
 
 
+def _validate_budgets(chunk_rows: int, m_budget: int, sc_budget: int,
+                      retrace_frac: int):
+    """Fail fast with a readable message instead of a shape error deep in
+    Pallas (ADVICE r2 low / VERDICT r3 weak #9)."""
+    if chunk_rows < 1:
+        raise ValueError(f"chunk_rows must be >= 1, got {chunk_rows}")
+    if m_budget < 1:
+        raise ValueError(
+            f"m_budget (average work items per chunk) must be >= 1, "
+            f"got {m_budget}")
+    if sc_budget < 1:
+        raise ValueError(f"sc_budget must be >= 1, got {sc_budget}")
+    if retrace_frac < 1:
+        raise ValueError(
+            f"retrace_frac must be >= 1 (ray capacity = rays//frac), "
+            f"got {retrace_frac}")
+
+
 def _retrace_avg_items(clusters: Clusters, m_budget: int,
                        retrace_factor: int) -> int:
     """Per-chunk item average for the exhaustive re-trace. The dense
@@ -639,6 +657,7 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
     re-trace capacities can contribute. retrace_frac sets the compaction
     capacity (rays // frac): the exhaustive cull pays on every slot, so
     the capacity should track the pass's real unproven rate."""
+    _validate_budgets(chunk_rows, m_budget, sc_budget, retrace_frac)
     origins = jnp.broadcast_to(origins, dirs.shape)
     occluded, unproven = _anyhit_pass(clusters, origins, dirs, t_max,
                                       chunk_rows, m_budget, t_min,
@@ -838,6 +857,7 @@ def trace_closest_fused(clusters: Clusters, origins, dirs,
     exact frames pay nothing. Results merge by min t (every reported hit
     is a real intersection, so min is the strictly better of the two
     passes); `uncertain` counts rays still beyond the re-trace bound."""
+    _validate_budgets(chunk_rows, m_budget, sc_budget, retrace_frac)
     origins = jnp.broadcast_to(origins, dirs.shape)
     t_live = jnp.full(dirs.shape[:1], jnp.inf, jnp.float32)
     prim1, t1, unp1, _ = _closest_pass(clusters, origins, dirs, t_live,
@@ -1096,6 +1116,7 @@ def trace_closest_attrs(clusters: Clusters, origins, dirs, ray_d_derivs,
     pass's hits; `stale` marks rays whose re-traced primitive differs
     (their attrs must be recomputed by the caller from shading_rows — a
     tiny compacted gather, the re-trace touches ~1e-3 of rays)."""
+    _validate_budgets(chunk_rows, m_budget, sc_budget, retrace_frac)
     origins = jnp.broadcast_to(origins, dirs.shape)
     r = dirs.shape[0]
     chunk = chunk_rows * _LANE
