@@ -131,6 +131,13 @@ def positive_atan_soa(t, biased: bool):
                                    np.float32(0.0))
 
 
+def acos_soa(x):
+    """jnp.arccos twin: acos(x) = atan2(sqrt(1-x^2), x). The acos
+    primitive has no Pallas TPU lowering (measured on v5e in the Urena
+    kernel)."""
+    return atan2_soa(jnp.sqrt(jnp.maximum(0.0, 1.0 - x * x)), x)
+
+
 def atan2_soa(y, x):
     """jnp.arctan2 twin built on atan_soa: the atan2 primitive has no
     Pallas TPU lowering (measured NotImplementedError on v5e), so every

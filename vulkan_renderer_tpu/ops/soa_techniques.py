@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from .soa import (atan2_soa, cross3, mix_fma, positive_atan_soa, vadd, vdot,
+from .soa import (acos_soa, atan2_soa, cross3, mix_fma, positive_atan_soa, vadd, vdot,
                   vnormalize,
                   vscale, vsub, vwh, wh)
 
@@ -322,10 +322,11 @@ def prepare_urena_soa(s, exl, eyl, axis_x, axis_y, axis_z, o) -> UrenaSoa:
     n1 = vnormalize(cross3(v10, v11))
     n2 = vnormalize(cross3(v11, v01))
     n3 = vnormalize(cross3(v01, v00))
-    g0 = jnp.arccos(jnp.clip(-vdot(n0, n1), -1.0, 1.0))
-    g1 = jnp.arccos(jnp.clip(-vdot(n1, n2), -1.0, 1.0))
-    g2 = jnp.arccos(jnp.clip(-vdot(n2, n3), -1.0, 1.0))
-    g3 = jnp.arccos(jnp.clip(-vdot(n3, n0), -1.0, 1.0))
+    # acos primitive: no Pallas TPU lowering — use the SoA twin.
+    g0 = acos_soa(jnp.clip(-vdot(n0, n1), -1.0, 1.0))
+    g1 = acos_soa(jnp.clip(-vdot(n1, n2), -1.0, 1.0))
+    g2 = acos_soa(jnp.clip(-vdot(n2, n3), -1.0, 1.0))
+    g3 = acos_soa(jnp.clip(-vdot(n3, n0), -1.0, 1.0))
     b0 = n0[2]
     b1 = n2[2]
     k = 2.0 * _PI - g2 - g3
