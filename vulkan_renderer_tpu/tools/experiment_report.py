@@ -3,7 +3,9 @@
 The harness CLI appends one CSV row per experiment run (see
 experiments/harness.py main). This tool renders the accumulated results —
 the figure-suite equivalent of the reference's timing-in-filename outputs
-(main.c:2006) collected into one reviewable table.
+(main.c:2006) collected into one reviewable table — plus a dedicated
+pivot of the timing sweep (experiment_list.c:364-409): technique rows x
+{central, decentral} x {128 lights 1 spp, 1 light 128 spp} columns.
 
 Usage: python -m vulkan_renderer_tpu.tools.experiment_report \
            [results.csv] [-o RESULTS.md]
@@ -14,6 +16,19 @@ from __future__ import annotations
 import argparse
 import csv
 import os
+import re
+
+_TIMING_RE = re.compile(
+    r"timings_(central|decentral)_(\d)(_128)?_([a-z0-9_]+?)_[-0-9.]+"
+    r"(?:_standin)?(?:_cpu)?\.(?:png|hdr)$")
+
+
+def _timing_key(row):
+    m = _TIMING_RE.search(row["screenshot"])
+    if not m:
+        return None
+    case, nv, lights128, tech = m.groups()
+    return tech, int(nv), case, "128L 1spp" if lights128 else "1L 128spp"
 
 
 def write_report(csv_path: str, out_path: str) -> int:
@@ -31,6 +46,62 @@ def write_report(csv_path: str, out_path: str) -> int:
         "the `cpu` backend are NOT TPU measurements (tagged `_cpu` in "
         "filenames); `stand_in` marks procedural stand-in scenes/layouts "
         "(reference assets are a separate download).",
+        "",
+    ]
+
+    # --- timing-sweep pivot (the reference's headline benchmark) ---------
+    timing = {}
+    nvs = set()
+    for r in rows:
+        key = _timing_key(r)
+        if key:
+            tech, nv, case, lcfg = key
+            nvs.add(nv)
+            timing[(tech, nv, case, lcfg)] = r
+    if timing:
+        techs = []
+        for r in rows:
+            key = _timing_key(r)
+            if key and key[0] not in techs:
+                techs.append(key[0])
+        cols = [(case, lcfg) for case in ("central", "decentral")
+                for lcfg in ("128L 1spp", "1L 128spp")]
+        for nv in sorted(nvs):
+            any_rows = [t for t in techs
+                        if any((t, nv, c, l) in timing for c, l in cols)]
+            if not any_rows:
+                continue
+            backend = next(iter(timing.values()))["backend"]
+            res = next(iter(timing.values()))
+            lines += [
+                f"## Timing sweep — {nv}-gon lights, "
+                f"{res['width']}x{res['height']}, diffuse-only, no "
+                f"shadows ({backend})",
+                "",
+                "ms/frame, median with frames in flight (reference "
+                "protocol, frame_timer.c:47-72). Reference sweep: "
+                "experiment_list.c:364-409.",
+                "",
+                "| technique | " + " | ".join(f"{c} {l}" for c, l in cols)
+                + " |",
+                "|---|" + "---|" * len(cols),
+            ]
+            for tech in any_rows:
+                cells = []
+                for c, l in cols:
+                    r = timing.get((tech, nv, c, l))
+                    if r is None:
+                        cells.append("—")
+                    else:
+                        exact = (r["primary_uncertain"] == "0"
+                                 and r["shadow_overflow"] == "0")
+                        cells.append(r["frame_ms"]
+                                     + ("" if exact else " (INEXACT)"))
+                lines.append(f"| {tech} | " + " | ".join(cells) + " |")
+            lines.append("")
+
+    lines += [
+        "## All experiments",
         "",
         "| # | scene | technique | strategy | spp | res | ms/frame | "
         "backend | stand-in | uncertain | overflow |",
@@ -50,10 +121,11 @@ def write_report(csv_path: str, out_path: str) -> int:
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("csv", nargs="?", default="data/experiments/results.csv")
+    parser.add_argument("csv", nargs="?",
+                        default=os.path.join("results", "results.csv"))
     parser.add_argument("-o", "--output", default=None)
     args = parser.parse_args(argv)
-    out = args.output or os.path.join(os.path.dirname(args.csv),
+    out = args.output or os.path.join(os.path.dirname(args.csv) or ".",
                                       "RESULTS.md")
     n = write_report(args.csv, out)
     print(f"{n} experiments -> {out}")
