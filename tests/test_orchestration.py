@@ -166,6 +166,29 @@ def test_bench_exactness_gate_fails_hard(tmp_path):
     assert "uncertain=0, overflow=0" not in record["metric"]
 
 
+def test_experiment_report_pivot(tmp_path):
+    """The report tool renders the timing sweep as the reference's pivot
+    (technique x case x light config) and flags inexact cells."""
+    from vulkan_renderer_tpu.tools.experiment_report import write_report
+    csv_path = tmp_path / "results.csv"
+    csv_path.write_text(
+        "index,scene,technique,strategy,spp,width,height,frame_ms,"
+        "backend,stand_in,primary_uncertain,shadow_overflow,screenshot\n"
+        "154,roughness_planes,baseline,diffuse_only,1,1920,1080,138.6,"
+        "tpu,1,0,0,x/timings_central_5_128_baseline_138.6_standin.png\n"
+        "167,roughness_planes,baseline,diffuse_only,128,1920,1080,99.0,"
+        "tpu,1,0,3,x/timings_central_5_baseline_99.0_standin.png\n"
+        "001,cornell_box,area_turk,diffuse_only,1,512,512,5.0,"
+        "cpu,0,0,0,x/cornell_box_technique_area_turk_5.0_cpu.png\n")
+    out = tmp_path / "RESULTS.md"
+    n = write_report(str(csv_path), str(out))
+    assert n == 3
+    text = out.read_text()
+    assert "Timing sweep — 5-gon lights" in text
+    assert "| baseline | 138.6 | 99.0 (INEXACT) | — | — |" in text
+    assert "cornell_box" in text  # non-timing rows in the full table
+
+
 def test_run_experiments_protocol(app, tmp_path):
     exp = Experiment(
         width=16, height=16, scene="cornell_box",
