@@ -31,6 +31,9 @@ def main():
     parser.add_argument("--no-shadows", action="store_true")
     parser.add_argument("--chunk-rows", type=int, default=16,
                         help="rays per trace chunk / 128")
+    parser.add_argument("--shadow-chunk-rows", type=int, default=None,
+                        help="shadow megabatch chunk rows (default: "
+                             "--chunk-rows)")
     parser.add_argument("--primary-budget", type=int, default=64)
     parser.add_argument("--shadow-budget", type=int, default=48)
     parser.add_argument("--primary-sc", type=int, default=32,
@@ -124,6 +127,7 @@ def main():
                              l.vertex_count for l in lights),
                          traversal=args.traversal,
                          trace_chunk_rows=args.chunk_rows,
+                         shadow_chunk_rows=args.shadow_chunk_rows,
                          primary_m_budget=args.primary_budget,
                          shadow_m_budget=args.shadow_budget,
                          primary_sc_budget=args.primary_sc,

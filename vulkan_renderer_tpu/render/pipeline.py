@@ -496,7 +496,8 @@ def _render_frame_body(scene, static, settings, constants, width, height,
         if use_pallas_trace:
             occluded, shadow_overflow = trace_anyhit_fused(
                 scene.clusters, flat_origins, flat_dirs, flat_tmax,
-                chunk_rows=static.trace_chunk_rows,
+                chunk_rows=(static.shadow_chunk_rows
+                            or static.trace_chunk_rows),
                 m_budget=static.shadow_m_budget,
                 sc_budget=static.shadow_sc_budget,
                 interpret=trace_interpret,

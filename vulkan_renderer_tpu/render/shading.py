@@ -80,6 +80,10 @@ class SceneStatic:
     # report rays left unproven by dropped superclusters or a capacity
     # overflow.
     trace_chunk_rows: int = 16
+    # Shadow megabatch chunk rows (None = trace_chunk_rows). The shadow
+    # cull cost scales with chunk count while wider chunks loosen unions;
+    # the trade differs from primary rays, so it gets its own knob.
+    shadow_chunk_rows: int | None = None
     primary_m_budget: int = 64
     shadow_m_budget: int = 48
     # Supercluster cull budgets (two-level cull tier; the ONLY remaining
