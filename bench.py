@@ -60,6 +60,10 @@ def main():
     parser.add_argument("--retrace-closest-frac", type=int, default=64,
                         help="primary re-trace ray capacity divisor "
                              "(unproven rate ~0.2% at the flagship)")
+    parser.add_argument("--retrace-mid-sc", type=int, default=None,
+                        help="escalating shadow re-trace: mid-tier "
+                             "supercluster budget before the exhaustive "
+                             "pass (default: single exhaustive tier)")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (jax.config.update "
                              "before first use; env vars are too late "
@@ -134,7 +138,8 @@ def main():
                          shadow_sc_budget=args.shadow_sc,
                          retrace_factor=args.retrace_factor,
                          retrace_shadow_frac=args.retrace_frac,
-                         retrace_closest_frac=args.retrace_closest_frac)
+                         retrace_closest_frac=args.retrace_closest_frac,
+                         retrace_mid_sc=args.retrace_mid_sc)
     camera = FirstPersonCamera(
         position_world_space=np.array([0.0, 0.0, 2.0], np.float32),
         rotation_x=0.55 * np.pi, rotation_z=0.5 * np.pi)

@@ -356,6 +356,32 @@ def test_pipeline_tile_order_matches_bruteforce():
     assert close.mean() > 0.995, close.mean()
 
 
+@pytest.mark.slow
+def test_escalating_retrace_matches_bruteforce():
+    """retrace_mid_sc: the two-tier re-trace (budgeted mid tier, then
+    exhaustive on its remainder) must match brute force with counters 0
+    on a two-level scene where pass 1 genuinely drops superclusters."""
+    rng = np.random.RandomState(5)
+    tris = _scene(rng, t=4400)
+    clusters = wf.build_clusters(tris, cluster_size=4)  # 1100 clusters
+    assert clusters.cluster_count > tk._TWO_LEVEL_MIN_CLUSTERS
+    o, d, tm = _rays(rng, n=384)
+    ref = np.asarray(trace_anyhit_bruteforce(jnp.asarray(tris), o, d, tm))
+    # sc_budget 2 of ~35 superclusters: plenty of unproven rays; the mid
+    # tier at 4 still drops some, forcing tier B to fire.
+    # retrace_factor 4: random (incoherent) rays union nearly every
+    # cluster, so the exhaustive tier's item capacity must cover
+    # cluster_count+1 per chunk (m_budget * factor >= 1101).
+    got, overflow = tk.trace_anyhit_fused(clusters, o, d, tm,
+                                          chunk_rows=1, m_budget=512,
+                                          interpret=True, sc_budget=2,
+                                          retrace_frac=1,
+                                          retrace_factor=4,
+                                          retrace_mid_sc=4)
+    assert int(overflow) == 0
+    np.testing.assert_array_equal(np.asarray(got), ref)
+
+
 def test_budget_validation_messages():
     """Nonsense budgets must raise a readable ValueError, not a shape
     error deep in Pallas (VERDICT r3 weak #9)."""

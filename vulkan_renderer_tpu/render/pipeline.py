@@ -502,7 +502,8 @@ def _render_frame_body(scene, static, settings, constants, width, height,
                 sc_budget=static.shadow_sc_budget,
                 interpret=trace_interpret,
                 retrace_factor=static.retrace_factor,
-                retrace_frac=static.retrace_shadow_frac)
+                retrace_frac=static.retrace_shadow_frac,
+                retrace_mid_sc=static.retrace_mid_sc)
         elif traversal == "wavefront":
             occluded, shadow_overflow = trace_anyhit(
                 scene.clusters, flat_origins, flat_dirs, flat_tmax,

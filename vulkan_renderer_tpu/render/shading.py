@@ -106,6 +106,11 @@ class SceneStatic:
     # hard on them, so a too-aggressive frac is loud, never silent.
     retrace_shadow_frac: int = 32
     retrace_closest_frac: int = 64
+    # Escalating shadow re-trace: when set, the compacted rays first
+    # re-trace with this supercluster budget; only the remainder runs
+    # the exhaustive pass at 1/8 ray capacity (trace_kernel.py
+    # trace_anyhit_fused). None = single exhaustive tier.
+    retrace_mid_sc: int | None = None
     # Material-sampler anisotropic filtering taps (reference:
     # scene.c:546-557 enables maxAnisotropy=16 in hardware). Default 1 =
     # isotropic trilinear: each extra tap is a full trilinear gather per

@@ -645,7 +645,8 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
                        t_min: float = 1.0e-3, interpret: bool = False,
                        sc_budget: int = _SC_BUDGET,
                        retrace_factor: int = _RETRACE_BUDGET_SCALE,
-                       retrace_frac: int = _RETRACE_RAY_FRAC):
+                       retrace_frac: int = _RETRACE_RAY_FRAC,
+                       retrace_mid_sc: int | None = None):
     """Any-hit (shadow) test. Returns (occluded bool (R,), overflow ()).
 
     Exactness re-trace (the reference's ray queries are exact, period —
@@ -653,10 +654,16 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
     (supercluster drops / item-capacity caps), they are compacted and
     re-traced EXHAUSTIVELY (all superclusters, `retrace_factor`-scaled
     item capacity), under lax.cond so exact frames pay nothing. overflow
-    counts rays still unproven after the re-trace — only the two static
+    counts rays still unproven after the re-trace — only the static
     re-trace capacities can contribute. retrace_frac sets the compaction
     capacity (rays // frac): the exhaustive cull pays on every slot, so
-    the capacity should track the pass's real unproven rate."""
+    the capacity should track the pass's real unproven rate.
+
+    retrace_mid_sc: optional ESCALATING tier — the compacted rays first
+    re-trace with this (larger) supercluster budget; only rays still
+    unproven go to the exhaustive pass, at 1/8 the ray capacity. Trades
+    a second lax.cond tier for running the dense member slab on ~10x
+    fewer rays."""
     _validate_budgets(chunk_rows, m_budget, sc_budget, retrace_frac)
     origins = jnp.broadcast_to(origins, dirs.shape)
     occluded, unproven = _anyhit_pass(clusters, origins, dirs, t_max,
@@ -672,14 +679,44 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
     def do_retrace(_):
         idx, live2, missed = _retrace_select(unproven, r, retrace_frac)
         t2 = jnp.where(live2, t_max_b[idx], -1.0)
-        occ2, unp2 = _anyhit_pass(
-            clusters, origins[idx], dirs[idx], t2, rows2,
-            avg2, t_min, interpret, _EXHAUSTIVE_SC)
+        o2 = origins[idx]
+        d2 = dirs[idx]
+        if retrace_mid_sc is None:
+            occ2, unp2 = _anyhit_pass(clusters, o2, d2, t2, rows2,
+                                      avg2, t_min, interpret,
+                                      _EXHAUSTIVE_SC)
+            residual_b = jnp.sum(unp2 & live2, dtype=jnp.int32)
+        else:
+            occ2, unp2 = _anyhit_pass(clusters, o2, d2, t2, rows2,
+                                      avg2, t_min, interpret,
+                                      retrace_mid_sc)
+            r2 = d2.shape[0]
+            unp_a = unp2 & live2
+
+            def do_b(_):
+                idxb, liveb, missedb = _retrace_select(unp_a, r2, 8)
+                tb = jnp.where(liveb, t2[idxb], -1.0)
+                occb, unpb = _anyhit_pass(clusters, o2[idxb], d2[idxb],
+                                          tb, rows2, avg2, t_min,
+                                          interpret, _EXHAUSTIVE_SC)
+                hitb = (occb & liveb).astype(jnp.int32)
+                sib = jnp.where(liveb, idxb, jnp.int32(r2))
+                occ_fix = jnp.zeros((r2,), jnp.int32).at[sib].add(
+                    hitb, mode="drop") > 0
+                return occ_fix, missedb + jnp.sum(unpb & liveb,
+                                                  dtype=jnp.int32)
+
+            def skip_b(_):
+                return jnp.zeros((r2,), bool), jnp.int32(0)
+
+            occ_fix, residual_b = jax.lax.cond(jnp.any(unp_a), do_b,
+                                               skip_b, None)
+            occ2 = occ2 | occ_fix
         hit2 = (occ2 & live2).astype(jnp.int32)
         scatter_idx = jnp.where(live2, idx, jnp.int32(r))
         merged = occluded | (jnp.zeros((r,), jnp.int32)
                              .at[scatter_idx].add(hit2, mode="drop") > 0)
-        residual = missed + jnp.sum(unp2 & live2, dtype=jnp.int32)
+        residual = missed + residual_b
         return merged, residual
 
     def skip(_):
