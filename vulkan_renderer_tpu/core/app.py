@@ -59,6 +59,9 @@ class SceneSpecification:
     camera: FirstPersonCamera = dataclasses.field(
         default_factory=FirstPersonCamera)
     lights: list = dataclasses.field(default_factory=list)
+    # Linear (line segment) lights — the HPG 2021 branch's light type
+    # (line_sampling.glsl); rendered alongside polygonal lights.
+    linear_lights: list = dataclasses.field(default_factory=list)
 
 
 class Application:
@@ -123,9 +126,11 @@ class Application:
             self.scene_spec.lights,
             noise_type=NoiseType(self.settings.noise_type)
             if _is_valid_noise(self.settings.noise_type) else NoiseType.WHITE,
-            data_directory=self.data_directory)
+            data_directory=self.data_directory,
+            linear_light_specs=self.scene_spec.linear_lights)
         self.static = SceneStatic(
             light_count=len(self.scene_spec.lights),
+            linear_light_count=len(self.scene_spec.linear_lights),
             light_texturing=tuple(
                 spec.texturing_technique for spec in self.scene_spec.lights),
             light_vertex_counts=tuple(

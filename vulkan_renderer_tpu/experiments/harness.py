@@ -268,6 +268,22 @@ def create_experiment_list(width: int = 1920, height: int = 1080,
         sample_count=128, trace_shadow_rays=True), "reference_128spp",
         quicksave="living_room_ceiling_light.save")
 
+    # Linear lights (the HPG 2021 branch, line_sampling.glsl): attic tube
+    # light, one figure per linear technique + a converged reference.
+    # The branch's experiment list is not in the main reference tree, so
+    # this group is an extension following its figure pattern.
+    for ltech in ("uniform", "distance", "projected_ris"):
+        add("attic", _figure_settings(
+            sampling_strategy=Strat.DIFFUSE_ONLY,
+            polygon_sampling_technique=Tech.PROJECTED_SOLID_ANGLE,
+            sample_count=1, linear_technique=ltech),
+            f"linear_{ltech}_1spp", layout="linear")
+    add("attic", _figure_settings(
+        sampling_strategy=Strat.DIFFUSE_SPECULAR_MIS,
+        polygon_sampling_technique=Tech.PROJECTED_SOLID_ANGLE,
+        sample_count=64, linear_technique="projected_ris"),
+        "linear_reference_64spp", layout="linear")
+
     # HDR switch (:518-528): flip every output to .hdr capture.
     if take_hdr_screenshots:
         experiments = [dataclasses.replace(

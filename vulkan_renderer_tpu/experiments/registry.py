@@ -64,7 +64,12 @@ def resolve_scene(key: str, data_directory: str = "data") -> SceneEntry:
     .vks is absent."""
     entry = SCENES[key]
     vks = os.path.join(data_directory, os.path.basename(entry.vks_path))
-    stand_in = False
+    # A previously materialized stand-in must KEEP reporting stand_in on
+    # later resolves — the file existing on disk does not make it the
+    # real content (a `<vks>.standin` sentinel marks the provenance;
+    # real asset downloads have no such marker).
+    sentinel = vks + ".standin"
+    stand_in = os.path.exists(vks) and os.path.exists(sentinel)
     if not os.path.exists(vks) and entry.procedural:
         import warnings
         warnings.warn(
@@ -93,6 +98,9 @@ def resolve_scene(key: str, data_directory: str = "data") -> SceneEntry:
                     os.path.basename(entry.texture_dir))
                 if not os.path.exists(tex_dst):
                     shutil.copytree(tex_src, tex_dst)
+        with open(sentinel, "w") as f:
+            f.write(f"procedural stand-in '{entry.procedural}', not the "
+                    f"real {entry.name} content\n")
     return SceneEntry(
         name=entry.name,
         vks_path=vks,

@@ -131,6 +131,8 @@ def experiment_lights(experiment, data_directory: str = "data"
     """Lights for an experiment whose quicksave is missing, from its
     light_layout descriptor."""
     layout = getattr(experiment, "light_layout", None) or "default"
+    if layout == "linear":
+        return []  # pure linear-light figure (HPG branch)
     if layout.startswith("timing:"):
         _, vc, case, lc = layout.split(":")
         return timing_lights(int(vc), case == "central", int(lc))
@@ -155,6 +157,20 @@ def experiment_lights(experiment, data_directory: str = "data"
     return _scene_default_lights(experiment.scene)
 
 
+def experiment_linear_lights(experiment):
+    """Linear (line segment) lights for the HPG-branch figure group
+    (layout 'linear'): a bright tube under the attic ridge, matching the
+    branch's line_sampling.glsl workload shape."""
+    layout = getattr(experiment, "light_layout", None) or ""
+    if layout != "linear":
+        return []
+    from ..scene.linear_lights import LinearLightSpec
+    return [LinearLightSpec(
+        start=np.array([0.2, 1.0, 1.9], np.float32),
+        end=np.array([1.8, 1.0, 1.9], np.float32),
+        radiant_flux=np.array([40.0, 36.0, 30.0], np.float32))]
+
+
 def build_default_application(experiment, data_directory: str = "data",
                               frames_in_flight: int = 3) -> Application:
     """The default Application factory for run_experiments: resolves the
@@ -168,7 +184,8 @@ def build_default_application(experiment, data_directory: str = "data",
         texture_dir=entry.texture_dir,
         quicksave_path=(experiment.quicksave_path or ""),
         camera=_scene_default_camera(experiment.scene),
-        lights=experiment_lights(experiment, data_directory))
+        lights=experiment_lights(experiment, data_directory),
+        linear_lights=experiment_linear_lights(experiment))
     app = Application(spec, settings=experiment.settings,
                       width=experiment.width, height=experiment.height,
                       frames_in_flight=frames_in_flight,

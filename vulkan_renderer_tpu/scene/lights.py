@@ -172,8 +172,15 @@ def update_polygonal_light(spec: PolygonalLightSpec,
 
 
 def stack_lights(lights: list[PolygonalLight]) -> PolygonalLight:
-    """Stack per-light records into batched arrays (leading light axis)."""
+    """Stack per-light records into batched arrays (leading light axis).
+    An empty list yields (0, ...)-shaped arrays (scenes lit purely by
+    linear lights, the HPG-branch workload)."""
     import jax.numpy as jnp
+    if not lights:
+        dummy = update_polygonal_light(PolygonalLightSpec())
+        return PolygonalLight(*[jnp.stack(
+            [np.asarray(getattr(dummy, f))])[:0]
+            for f in PolygonalLight._fields])
     return PolygonalLight(*[jnp.stack([np.asarray(getattr(l, f))
                                        for l in lights])
                             for f in PolygonalLight._fields])
