@@ -384,6 +384,10 @@ def main(argv=None) -> int:
     parser.add_argument("--width", type=int, default=None,
                         help="override width (faster reproduction)")
     parser.add_argument("--height", type=int, default=None)
+    parser.add_argument("--scale", type=float, default=None,
+                        help="multiply every experiment's OWN resolution "
+                        "(preserves per-figure aspect/size ratios, unlike "
+                        "--width/--height which force one size on all)")
     parser.add_argument("--hdr", action="store_true")
     parser.add_argument("--output-dir", default="data/experiments")
     parser.add_argument("--warmup-frames", type=int, default=110)
@@ -440,6 +444,8 @@ def main(argv=None) -> int:
                 cmd += ["--width", str(args.width)]
             if args.height:
                 cmd += ["--height", str(args.height)]
+            if args.scale:
+                cmd += ["--scale", str(args.scale)]
             if args.hdr:
                 cmd.append("--hdr")
             if args.cpu:
@@ -448,6 +454,11 @@ def main(argv=None) -> int:
                 cmd += ["--results-csv", args.results_csv]
             rc |= subprocess.call(cmd)
         return rc
+    if args.scale:
+        picked = [(i, dataclasses.replace(
+            e, width=max(16, int(round(e.width * args.scale))),
+            height=max(16, int(round(e.height * args.scale)))))
+            for i, e in picked]
     if args.width or args.height:
         picked = [(i, dataclasses.replace(
             e, width=args.width or e.width, height=args.height or e.height))
