@@ -64,6 +64,17 @@ def make_frame_constants(camera: FirstPersonCamera, width: int, height: int,
     )
 
 
+def _cluster_compaction_budget(scene: Scene) -> int:
+    """Per-row-chunk distinct-cluster budget for the CPU wavefront
+    tracers: the flat default (384) silently under-covered the
+    bistro-class stand-in (846 clusters -> 1535 primary rays flagged
+    uncertain per 640x360 frame; measured: full coverage at 846 brings
+    it to 0 even at pairs_per_ray=64). Track the scene's cluster count,
+    capped so city-scale scenes (~4.7k clusters) keep a bounded
+    compacted-planes working set."""
+    return min(max(384, int(scene.clusters.cluster_count)), 4096)
+
+
 def _pixel_preamble(scene: Scene, static: SceneStatic,
                     settings: RenderSettings, constants: FrameConstants,
                     primitive_index, ray_direction, geom=None,
@@ -376,7 +387,8 @@ def _render_frame_body(scene, static, settings, constants, width, height,
     elif traversal == "wavefront":
         primitive_index, _, primary_uncertain = trace_closest(
             scene.clusters, constants.camera_position, ray_dirs,
-            pairs_per_ray=static.primary_pairs_per_ray)
+            pairs_per_ray=static.primary_pairs_per_ray,
+            chunk_cluster_budget=_cluster_compaction_budget(scene))
     elif traversal == "bvh":
         if scene.bvh is None:
             raise ValueError("traversal='bvh' needs build_scene("
@@ -507,7 +519,8 @@ def _render_frame_body(scene, static, settings, constants, width, height,
         elif traversal == "wavefront":
             occluded, shadow_overflow = trace_anyhit(
                 scene.clusters, flat_origins, flat_dirs, flat_tmax,
-                pairs_per_ray=static.shadow_pairs_per_ray)
+                pairs_per_ray=static.shadow_pairs_per_ray,
+                chunk_cluster_budget=_cluster_compaction_budget(scene))
         elif traversal == "bvh":
             occl = make_bvh_occlusion(scene.bvh)
             occluded = jax.vmap(occl)(flat_origins, flat_dirs, flat_tmax)

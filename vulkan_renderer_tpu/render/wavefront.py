@@ -242,16 +242,23 @@ def _pair_intersect(planes_m, cluster_size: int, o, d,
     c = cluster_size
     m = planes_m.shape[0]
 
-    # One-hot matmul instead of a gather: selects each pair's cluster row
-    # of all 9 component planes in one MXU pass (exact: one nonzero
-    # 1.0 * x product per output). precision=HIGHEST is REQUIRED: the TPU
-    # default runs f32 matmuls in bf16 passes, which would round the
-    # selected coordinates (phantom self-intersections at t ~ coord * 2^-8).
-    onehot = (local_idx.reshape(-1)[:, None]
-              == jnp.arange(m, dtype=local_idx.dtype)[None, :]) \
-        .astype(planes_m.dtype)
-    rows = jnp.matmul(onehot, planes_m,
-                      precision=jax.lax.Precision.HIGHEST)  # (n*ppr, 9*C)
+    if jax.default_backend() == "cpu":
+        # CPU: a plain row gather IS the fast path (memcpy-speed); the
+        # one-hot matmul below costs O(M) flops per output element and
+        # measured ~100x slower per bistro-class frame on one core.
+        rows = planes_m[local_idx.reshape(-1)]  # (n*ppr, 9*C)
+    else:
+        # One-hot matmul instead of a gather: selects each pair's cluster
+        # row of all 9 component planes in one MXU pass (exact: one
+        # nonzero 1.0 * x product per output). precision=HIGHEST is
+        # REQUIRED: the TPU default runs f32 matmuls in bf16 passes,
+        # which would round the selected coordinates (phantom
+        # self-intersections at t ~ coord * 2^-8).
+        onehot = (local_idx.reshape(-1)[:, None]
+                  == jnp.arange(m, dtype=local_idx.dtype)[None, :]) \
+            .astype(planes_m.dtype)
+        rows = jnp.matmul(onehot, planes_m,
+                          precision=jax.lax.Precision.HIGHEST)
     rows = rows.reshape(n, ppr, 9, c)
 
     def g(i):
