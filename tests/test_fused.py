@@ -492,3 +492,51 @@ def test_fused_resolved_matches_slots(strategy, mixed):
         interpret=True, tile_rows=1))
     scale = np.maximum(np.abs(ref).max(), 1.0)
     np.testing.assert_allclose(got, ref, atol=2e-5 * scale, rtol=1e-4)
+
+
+@pytest.mark.parametrize("tech,strategy", [
+    (PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_ARVO,
+     SamplingStrategy.DIFFUSE_ONLY),
+    (PolygonSamplingTechnique.SOLID_ANGLE, SamplingStrategy.DIFFUSE_ONLY),
+    (PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE,
+     SamplingStrategy.DIFFUSE_SPECULAR_MIS),
+])
+@pytest.mark.slow
+def test_fused_resolved_spp_chunking_matches(tech, strategy):
+    """Sample-chunked resolved kernel (grid supplies the sample axis)
+    must match the single-chunk kernel: per-sample estimates are
+    independent and 1/n-scaled, so n/c chunk steps weighted by c/n are
+    the same estimator. This is what keeps the 128 spp timing-sweep
+    cases (experiment_list.c:364-409) compilable for Arvo PSA, whose
+    per-sample body at 128 unrolled copies exceeds any reasonable Mosaic
+    compile budget."""
+    rng = np.random.RandomState(23)
+    specs = [PolygonalLightSpec(
+        translation=np.array([0.5, -0.25, 2.5], np.float32),
+        rotation_angles=np.array([np.pi, 0.3, 0.1], np.float32),
+        scaling_x=0.8, scaling_y=0.6,
+        radiant_flux=np.array([5.0, 4.0, 3.0], np.float32))]
+    lights, data, ltc = _make_setup(rng, specs, p=160)
+    static = SceneStatic(light_count=1, light_texturing=(0,),
+                         light_vertex_counts=(4,))
+    settings = RenderSettings(
+        sampling_strategy=strategy,
+        mis_heuristic=MisHeuristic.OPTIMAL_CLAMPED,
+        mis_visibility_estimate=0.5,
+        polygon_sampling_technique=tech,
+        sample_count=4, trace_shadow_rays=False)
+    assert fused.fused_resolved_supported(static, settings)
+    p = data.position.shape[0]
+    total_pairs = pairs_per_light(settings)
+    noise_pairs = jnp.asarray(rng.rand(p, total_pairs, 2).astype(np.float32))
+    hit = jnp.asarray(rng.rand(p) > 0.1)
+    ls = fused._pack_light_scalars(lights, 1)
+    mis = jnp.float32(0.5)
+
+    args = (data, ltc, hit, noise_pairs, ls, mis, static, settings)
+    ref = np.asarray(fused.fused_light_shading_resolved(
+        *args, interpret=True, tile_rows=1, spp_chunk=4))
+    got = np.asarray(fused.fused_light_shading_resolved(
+        *args, interpret=True, tile_rows=1, spp_chunk=2))
+    scale = np.maximum(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(got, ref, atol=2e-5 * scale, rtol=1e-4)

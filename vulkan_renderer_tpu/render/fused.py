@@ -18,6 +18,7 @@ Everything else falls back to the vmapped per-pixel pipeline.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple
 
@@ -710,23 +711,50 @@ def fused_resolved_supported(static, settings: RenderSettings) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("static", "settings",
-                                             "interpret", "tile_rows"))
+                                             "interpret", "tile_rows",
+                                             "spp_chunk"))
 def fused_light_shading_resolved(data, ltc, hit, noise_pairs, light_scalars,
                                  mis_visibility_estimate, static,
                                  settings: RenderSettings,
                                  interpret: bool = False,
-                                 tile_rows: int = 32):
+                                 tile_rows: int = 32,
+                                 spp_chunk: int | None = None):
     """Fused shading with visibility resolved to 1 (no shadow rays).
 
-    Grid (pixel tiles, lights): each step shades ONE light for one tile
-    and accumulates into a 3-plane output block (revisited across the
-    innermost light dimension). Per-light scalars are read from SMEM at
-    the traced light index; per-light noise planes arrive via the
-    BlockSpec index map. Mixed vertex counts run one launch per distinct
-    nv over that group's lights (contributions sum, so splitting the
-    light axis across launches is exact). Returns base (P, 3)."""
+    Grid (pixel tiles, lights x sample chunks): each step shades ONE
+    light with ONE chunk of samples for one tile and accumulates into a
+    3-plane output block (revisited across the innermost grid dimension).
+    Per-light scalars are read from SMEM at the traced light index;
+    per-chunk noise planes arrive via the BlockSpec index map. Mixed
+    vertex counts run one launch per distinct nv over that group's
+    lights (contributions sum, so splitting the light axis across
+    launches is exact). Returns base (P, 3).
+
+    spp_chunk: samples unrolled per grid step. The per-sample estimates
+    are independent in every strategy and _shade_one_light returns
+    (1/sample_count)-scaled sums, so running n/spp_chunk grid steps and
+    weighting each by spp_chunk/n is the same estimator (fp sum order
+    aside). Default: sample_count (one step, no re-prepare cost) except
+    for Arvo PSA, whose per-sample body is so large that 128 unrolled
+    copies take the Mosaic compiler >15 min (timing sweep case
+    experiment_list.c:388 at 128 spp); there chunks of <=8 keep compile
+    time bounded while the grid supplies the other 16x."""
     # Equals render/shading.py pairs_per_light for the fused strategies.
     ppl = rays_per_light_fused(settings)
+    n = settings.sample_count
+    if spp_chunk is None:
+        spp_chunk = n
+        if (settings.polygon_sampling_technique
+                == PolygonSamplingTechnique.PROJECTED_SOLID_ANGLE_ARVO
+                and n > 8):
+            spp_chunk = next(c for c in range(8, 0, -1) if n % c == 0)
+    if n % spp_chunk != 0:
+        raise ValueError(f"spp_chunk {spp_chunk} must divide "
+                         f"sample_count {n}")
+    n_chunks = n // spp_chunk
+    kset = dataclasses.replace(settings, sample_count=spp_chunk) \
+        if n_chunks > 1 else settings
+    cppl = ppl // n_chunks
     n_lights = static.light_count
     p = data.roughness.shape[0]
 
@@ -754,6 +782,11 @@ def fused_light_shading_resolved(data, ltc, hit, noise_pairs, light_scalars,
 
     def one_group(nv: int, noise_g, ls_g):
         ng = ls_g.shape[0]
+        if n_chunks > 1:
+            # Light-major noise pairs are contiguous per light, so the
+            # chunk split is a free reshape: step li covers light
+            # li // n_chunks, sample chunk li % n_chunks.
+            noise_g = noise_g.reshape(ng * n_chunks, 2 * cppl, rows, lane)
 
         def kernel(planes_ref, noise_ref, ls_ref, mis_ref, out_ref):
             li = pl.program_id(1)
@@ -763,26 +796,28 @@ def fused_light_shading_resolved(data, ltc, hit, noise_pairs, light_scalars,
                 out_ref[...] = jnp.zeros_like(out_ref)
 
             px = _unpack_px(planes_ref[...])
-            light = _read_light(ls_ref, li, nv)
+            light = _read_light(ls_ref, li // n_chunks, nv)
             pair_planes = [(noise_ref[0, 2 * q], noise_ref[0, 2 * q + 1])
-                           for q in range(ppl)]
-            lbase, slots = _shade_one_light(px, light, nv, settings,
+                           for q in range(cppl)]
+            lbase, slots = _shade_one_light(px, light, nv, kset,
                                             mis_ref[0, 0], pair_planes)
             total = lbase
             for (b, _, _) in slots:
                 total = vadd(total, b)
+            if n_chunks > 1:
+                total = vscale(np.float32(1.0 / n_chunks), total)
             out_ref[...] += jnp.stack([total[0], total[1], total[2]],
                                       axis=0)
 
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((3, rows, lane), jnp.float32),
-            grid=(rows // tile_rows, ng),
+            grid=(rows // tile_rows, ng * n_chunks),
             in_specs=[
                 pl.BlockSpec((nin, tile_rows, lane),
                              lambda i, li: (0, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2 * ppl, tile_rows, lane),
+                pl.BlockSpec((1, 2 * cppl, tile_rows, lane),
                              lambda i, li: (li, 0, i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(ls_g.shape, lambda i, li: (0, 0),
