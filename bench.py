@@ -64,6 +64,10 @@ def main():
                         help="escalating shadow re-trace: mid-tier "
                              "supercluster budget before the exhaustive "
                              "pass (default: single exhaustive tier)")
+    parser.add_argument("--pipelined-reps", type=int, default=3,
+                        help="max repeats of the pipelined loop (min wins; "
+                             "stops early once a rep passes the <=1.2x "
+                             "sync-latency contention cross-check)")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend (jax.config.update "
                              "before first use; env vars are too late "
@@ -194,21 +198,44 @@ def main():
     import jax.numpy as jnp
     from vulkan_renderer_tpu.assets.noise import advance_noise_random_numbers
     n_pipe = max(args.frames * 2, 6)
-    seed = 3124705
-    frames = []
-    t0 = time.perf_counter()
-    for _ in range(n_pipe):
-        seed, rnd = advance_noise_random_numbers(seed, True)
-        c = make_frame_constants(camera, args.width, args.height, settings,
-                                 rnd)
-        frames.append(jnp.sum(render_frame_jit(
-            scene, static, settings, c, args.width, args.height,
-            with_stats=True, stop_after=args.stop_after)[0]))
-        if len(frames) > 3:
-            np.asarray(frames.pop(0))  # bounded in-flight queue
-    for f in frames:
-        np.asarray(f)
-    ms = (time.perf_counter() - t0) * 1000.0 / n_pipe
+
+    def pipelined_run(seed):
+        frames = []
+        t0 = time.perf_counter()
+        for _ in range(n_pipe):
+            seed, rnd = advance_noise_random_numbers(seed, True)
+            c = make_frame_constants(camera, args.width, args.height,
+                                     settings, rnd)
+            frames.append(jnp.sum(render_frame_jit(
+                scene, static, settings, c, args.width, args.height,
+                with_stats=True, stop_after=args.stop_after)[0]))
+            if len(frames) > 3:
+                np.asarray(frames.pop(0))  # bounded in-flight queue
+        for f in frames:
+            np.asarray(f)
+        return (time.perf_counter() - t0) * 1000.0 / n_pipe
+
+    # Contention guard (VERDICT r4 weak #1): the pipelined number is
+    # host-dispatch-bound — a concurrent CPU process starved the dispatch
+    # threads and BENCH_r04 recorded 1342 ms for a frame whose sync
+    # latency was 477 ms (the best ever measured). Pipelined throughput
+    # with 3 frames in flight can never legitimately exceed sync latency
+    # (overlap only removes time); allow 1.2x for relay jitter. Run the
+    # loop up to `--pipelined-reps` times, keep the min, and flag the
+    # record as contended if even the min fails the cross-check so a
+    # loaded host can no longer silently write a 4x number.
+    reps = []
+    for rep in range(args.pipelined_reps):
+        reps.append(pipelined_run(3124705 + rep * 7919))
+        if reps[-1] <= 1.2 * latency_ms:
+            break
+        time.sleep(2.0)
+    ms = min(reps)
+    contended = ms > 1.2 * latency_ms
+    try:
+        loadavg = round(os.getloadavg()[0], 2)
+    except OSError:
+        loadavg = None
     # Normalize to the 1080p north-star target (20 ms/frame, BASELINE.json):
     # scale measured ms to full-HD pixel count so the ratio is comparable
     # across bench resolutions.
@@ -217,17 +244,25 @@ def main():
     tri_count = int(scene.triangle_positions.shape[0])
     exactness_failed = bool(uncertain or overflow)
     stage = f" stop_after={args.stop_after}" if args.stop_after else ""
+    contention = (f", CONTENDED host (loadavg {loadavg}, "
+                  f"{len(reps)} reps all >1.2x latency)") if contended else ""
     record = {
         "metric": f"ms/frame pipelined{stage} {args.width}x{args.height} "
                   f"{args.spp}spp shadows={not args.no_shadows} "
                   f"{args.scene} ({tri_count} tris, "
                   f"sync latency {round(latency_ms, 1)} ms, "
                   f"uncertain={uncertain}, overflow={overflow}; "
-                  f"scaled to 1080p: {round(ms_1080p, 1)} ms)",
+                  f"scaled to 1080p: {round(ms_1080p, 1)} ms"
+                  f"{contention})",
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(ms_1080p / 20.0, 4),
+        "loadavg": loadavg,
+        "pipelined_reps_ms": [round(r, 1) for r in reps],
+        "sync_latency_ms": round(latency_ms, 1),
     }
+    if contended:
+        record["host_contended"] = True
     if exactness_failed:
         record["exactness_failed"] = True
     print(json.dumps(record))

@@ -10,10 +10,14 @@ pixel tile; the math is the SoA library (ops/soa.py), which agrees with
 the cited per-pixel reference implementations.
 
 Coverage (static dispatch, like the reference's #define specialization):
-- techniques: PROJECTED_SOLID_ANGLE, PROJECTED_SOLID_ANGLE_BIASED
-- strategies: DIFFUSE_ONLY, DIFFUSE_SPECULAR_MIS
-- all 5 MIS heuristics; untextured lights; no error display
-Everything else falls back to the vmapped per-pixel pipeline.
+- ALL 13 techniques with DIFFUSE_ONLY (the timing-sweep configuration;
+  Arvo PSA via ops/soa_arvo_psa.py)
+- the PSA pair additionally supports DIFFUSE_SPECULAR_MIS with all 5
+  MIS heuristics
+- untextured polygonal lights; no error display
+Everything else (error displays, textured/IES lights, linear lights,
+remaining strategies) falls back to the vmapped per-pixel pipeline —
+`fused_supported` below is the authoritative predicate.
 """
 
 from __future__ import annotations
