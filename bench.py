@@ -122,13 +122,9 @@ def main():
             radiant_flux=np.array([400.0, 380.0, 340.0], np.float32)))
     scene = load_scene(vks, os.path.join("data", f"{stem}_textures"),
                        lights, cluster_size=args.cluster_size)
-    if args.shadow_sc is None:
-        # Scale the shadow cull budget with the scene: ~10% supercluster
-        # coverage keeps the pass-1 unproven rate ~1-2% across city sizes
-        # (measured: 16/147 at 300k tris and 48/489 at 1M both run exact;
-        # a flat 16 at 1M left ~650k rays unproven).
-        superclusters = -(-int(scene.clusters.cluster_count) // 32)
-        args.shadow_sc = max(16, superclusters // 10)
+    # shadow_sc None = auto-sized from the scene's supercluster count
+    # inside SceneStatic.resolved_shadow_sc (VERDICT r4 #7: arbitrary
+    # scenes run exact without hand flags; the CLI remains an override).
     static = SceneStatic(light_count=len(lights),
                          light_texturing=tuple(0 for _ in lights),
                          light_vertex_counts=tuple(

@@ -84,3 +84,21 @@ def test_legalize_matches_gui_coercion():
     with pytest.raises(ValueError):
         dataclasses.replace(legal, sampling_strategy=S.DIFFUSE_GGX_MIS,
                             mis_heuristic=MisHeuristic.BALANCE)
+
+
+def test_shadow_sc_budget_auto_sizing():
+    """shadow_sc_budget=None auto-sizes from the scene's supercluster
+    count (~10% coverage, floor 16) so arbitrary scenes run exact with
+    no hand flags; an explicit value stays an override (VERDICT r4 #7)."""
+    from vulkan_renderer_tpu.render.shading import SceneStatic
+    auto = SceneStatic(light_count=1, light_texturing=(0,))
+    # 300k-tri city class: 4.7k clusters -> 147 superclusters -> floor 16.
+    assert auto.resolved_shadow_sc(4700) == 16
+    # 1M-tri city class: 15.6k clusters -> 489 superclusters -> 48.
+    assert auto.resolved_shadow_sc(15640) == 48
+    # Small scenes floor at 16 (two-level cull is off below 1024 clusters
+    # anyway, but the resolved value must stay valid).
+    assert auto.resolved_shadow_sc(10) == 16
+    forced = SceneStatic(light_count=1, light_texturing=(0,),
+                         shadow_sc_budget=5)
+    assert forced.resolved_shadow_sc(15640) == 5

@@ -511,7 +511,8 @@ def _render_frame_body(scene, static, settings, constants, width, height,
                 chunk_rows=(static.shadow_chunk_rows
                             or static.trace_chunk_rows),
                 m_budget=static.shadow_m_budget,
-                sc_budget=static.shadow_sc_budget,
+                sc_budget=static.resolved_shadow_sc(
+                    int(scene.clusters.cluster_count)),
                 interpret=trace_interpret,
                 retrace_factor=static.retrace_factor,
                 retrace_frac=static.retrace_shadow_frac,
