@@ -60,6 +60,16 @@ def main():
     parser.add_argument("--retrace-closest-frac", type=int, default=64,
                         help="primary re-trace ray capacity divisor "
                              "(unproven rate ~0.2% at the flagship)")
+    parser.add_argument("--seed-closest-sc", type=int, default=None,
+                        help="occlusion-seed supercluster budget for the "
+                             "primary trace (None = off): a cheap pass "
+                             "over the N nearest superclusters bounds the "
+                             "main cull's per-ray t_max with real hits")
+    parser.add_argument("--seed-shadow-sc", type=int, default=None,
+                        help="occlusion-seed budget for the shadow "
+                             "megabatch (None = off)")
+    parser.add_argument("--seed-items", type=int, default=24,
+                        help="seed-pass per-chunk item capacity")
     parser.add_argument("--retrace-mid-sc", type=int, default=None,
                         help="escalating shadow re-trace: mid-tier "
                              "supercluster budget before the exhaustive "
@@ -139,7 +149,10 @@ def main():
                          retrace_factor=args.retrace_factor,
                          retrace_shadow_frac=args.retrace_frac,
                          retrace_closest_frac=args.retrace_closest_frac,
-                         retrace_mid_sc=args.retrace_mid_sc)
+                         retrace_mid_sc=args.retrace_mid_sc,
+                         seed_closest_sc=args.seed_closest_sc,
+                         seed_shadow_sc=args.seed_shadow_sc,
+                         seed_items=args.seed_items)
     camera = FirstPersonCamera(
         position_world_space=np.array([0.0, 0.0, 2.0], np.float32),
         rotation_x=0.55 * np.pi, rotation_z=0.5 * np.pi)

@@ -427,3 +427,56 @@ def test_retrace_select_capacity_and_order():
     assert int(np.asarray(live2).sum()) == 40
     np.testing.assert_array_equal(np.asarray(idx2)[:40],
                                   np.arange(100, 140))
+
+
+@pytest.mark.slow
+def test_seeded_anyhit_matches_unseeded():
+    """Occlusion-seed pass (seed_sc): the seed's occlusions are definite
+    and the main pass culls dead rays, so the merged result must be
+    identical to the unseeded trace AND to brute force (the seed is a
+    bound, never a coverage claim)."""
+    rng = np.random.RandomState(11)
+    tris = _scene(rng, t=4400)
+    clusters = wf.build_clusters(tris, cluster_size=4)  # 1100 clusters
+    assert clusters.cluster_count > tk._TWO_LEVEL_MIN_CLUSTERS
+    o, d, tm = _rays(rng, n=384)
+    ref = np.asarray(trace_anyhit_bruteforce(jnp.asarray(tris), o, d, tm))
+    plain, ov0 = tk.trace_anyhit_fused(clusters, o, d, tm, chunk_rows=1,
+                                       m_budget=512, sc_budget=64,
+                                       interpret=True)
+    seeded, ov1 = tk.trace_anyhit_fused(clusters, o, d, tm, chunk_rows=1,
+                                        m_budget=512, sc_budget=64,
+                                        seed_sc=2, seed_items=64,
+                                        interpret=True)
+    assert int(ov0) == 0 and int(ov1) == 0
+    np.testing.assert_array_equal(np.asarray(seeded), np.asarray(plain))
+    np.testing.assert_array_equal(np.asarray(seeded), ref)
+
+
+@pytest.mark.slow
+def test_seeded_closest_matches_unseeded():
+    """Seeded closest hit: the main pass re-finds every seed hit (the
+    seed cluster's slab entry <= its hit t passes the seeded cull), so
+    prim/t must be pixel-identical to the unseeded trace."""
+    rng = np.random.RandomState(12)
+    tris = _scene(rng, t=4400)
+    clusters = wf.build_clusters(tris, cluster_size=4)
+    _, d, _ = _rays(rng, n=384)
+    origin = jnp.asarray(np.array([10.0, 10.0, 25.0], np.float32))
+    o = jnp.broadcast_to(origin, d.shape)
+    ref_prim, ref_t = trace_primary_bruteforce(jnp.asarray(tris), origin, d)
+    plain = tk.trace_closest_fused(clusters, o, d, chunk_rows=1,
+                                   m_budget=512, sc_budget=64,
+                                   interpret=True)
+    seeded = tk.trace_closest_fused(clusters, o, d, chunk_rows=1,
+                                    m_budget=512, sc_budget=64,
+                                    seed_sc=2, seed_items=64,
+                                    interpret=True)
+    assert int(plain[2]) == 0 and int(seeded[2]) == 0
+    np.testing.assert_array_equal(np.asarray(seeded[0]),
+                                  np.asarray(plain[0]))
+    np.testing.assert_array_equal(np.asarray(seeded[1]),
+                                  np.asarray(plain[1]))
+    hit = np.isfinite(np.asarray(ref_t))
+    np.testing.assert_array_equal(np.asarray(seeded[0])[hit],
+                                  np.asarray(ref_prim)[hit])

@@ -362,7 +362,9 @@ def _render_frame_body(scene, static, settings, constants, width, height,
                     sc_budget=static.primary_sc_budget,
                     interpret=trace_interpret,
                     retrace_factor=static.retrace_factor,
-                    retrace_frac=static.retrace_closest_frac)
+                    retrace_frac=static.retrace_closest_frac,
+                    seed_sc=static.seed_closest_sc,
+                    seed_items=static.seed_items)
             attr_planes, fix_residual = _fixup_stale_attrs(
                 scene, constants, attr_planes, stale, primitive_index,
                 ray_dirs)
@@ -383,7 +385,9 @@ def _render_frame_body(scene, static, settings, constants, width, height,
                 sc_budget=static.primary_sc_budget,
                 interpret=trace_interpret,
                 retrace_factor=static.retrace_factor,
-                retrace_frac=static.retrace_closest_frac)
+                retrace_frac=static.retrace_closest_frac,
+                seed_sc=static.seed_closest_sc,
+                seed_items=static.seed_items)
     elif traversal == "wavefront":
         primitive_index, _, primary_uncertain = trace_closest(
             scene.clusters, constants.camera_position, ray_dirs,
@@ -516,7 +520,9 @@ def _render_frame_body(scene, static, settings, constants, width, height,
                 interpret=trace_interpret,
                 retrace_factor=static.retrace_factor,
                 retrace_frac=static.retrace_shadow_frac,
-                retrace_mid_sc=static.retrace_mid_sc)
+                retrace_mid_sc=static.retrace_mid_sc,
+                seed_sc=static.seed_shadow_sc,
+                seed_items=static.seed_items)
         elif traversal == "wavefront":
             occluded, shadow_overflow = trace_anyhit(
                 scene.clusters, flat_origins, flat_dirs, flat_tmax,

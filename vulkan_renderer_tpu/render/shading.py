@@ -117,6 +117,16 @@ class SceneStatic:
     # the exhaustive pass at 1/8 ray capacity (trace_kernel.py
     # trace_anyhit_fused). None = single exhaustive tier.
     retrace_mid_sc: int | None = None
+    # Occlusion seed passes (trace_kernel.py _closest_seed / the any-hit
+    # seed): a cheap pass over only the N nearest superclusters runs
+    # first; its hits bound the main cull's per-ray t_max (closest) or
+    # deaden already-occluded rays (any-hit), shrinking the main pass's
+    # work-item unions — the TPU analogue of front-to-back BVH early-out.
+    # Exactness is untouched (seed hits are real intersections; its
+    # unproven set is ignored). None = off.
+    seed_closest_sc: int | None = None
+    seed_shadow_sc: int | None = None
+    seed_items: int = 24
     # Material-sampler anisotropic filtering taps (reference:
     # scene.c:546-557 enables maxAnisotropy=16 in hardware). Default 1 =
     # isotropic trilinear: each extra tap is a full trilinear gather per

@@ -646,7 +646,9 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
                        sc_budget: int = _SC_BUDGET,
                        retrace_factor: int = _RETRACE_BUDGET_SCALE,
                        retrace_frac: int = _RETRACE_RAY_FRAC,
-                       retrace_mid_sc: int | None = None):
+                       retrace_mid_sc: int | None = None,
+                       seed_sc: int | None = None,
+                       seed_items: int = 24):
     """Any-hit (shadow) test. Returns (occluded bool (R,), overflow ()).
 
     Exactness re-trace (the reference's ray queries are exact, period —
@@ -663,15 +665,33 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
     re-trace with this (larger) supercluster budget; only rays still
     unproven go to the exhaustive pass, at 1/8 the ray capacity. Trades
     a second lax.cond tier for running the dense member slab on ~10x
-    fewer rays."""
+    fewer rays.
+
+    seed_sc: optional OCCLUSION SEED — a cheap any-hit pass over only the
+    `seed_sc` nearest superclusters (item capacity `seed_items`) runs
+    first; its occlusions are definite (every reported hit is a real
+    intersection), so those rays enter the main pass DEAD (t_max = -1),
+    shrinking its per-chunk unions. The seed's unproven set is ignored —
+    it is a bound, never a coverage claim — so exactness semantics are
+    unchanged. This is the TPU analogue of the occlusion benefit the
+    reference gets from front-to-back BVH traversal with early-out
+    (rayQueryEXT terminates on first hit): most shadow rays in a dense
+    scene are killed by nearby geometry before the full cull runs."""
     _validate_budgets(chunk_rows, m_budget, sc_budget, retrace_frac)
     origins = jnp.broadcast_to(origins, dirs.shape)
-    occluded, unproven = _anyhit_pass(clusters, origins, dirs, t_max,
+    t_max_b = jnp.broadcast_to(jnp.asarray(t_max), dirs.shape[:1])
+    occ_seed = jnp.zeros(dirs.shape[:1], bool)
+    if seed_sc:
+        occ_seed, _ = _anyhit_pass(clusters, origins, dirs, t_max_b,
+                                   chunk_rows, seed_items, t_min,
+                                   interpret, seed_sc)
+        t_max_b = jnp.where(occ_seed, -1.0, t_max_b)
+    occluded, unproven = _anyhit_pass(clusters, origins, dirs, t_max_b,
                                       chunk_rows, m_budget, t_min,
                                       interpret, sc_budget)
+    occluded = occluded | occ_seed
     if retrace_factor <= 1:
         return occluded, jnp.sum(unproven, dtype=jnp.int32)
-    t_max_b = jnp.broadcast_to(jnp.asarray(t_max), dirs.shape[:1])
     r = dirs.shape[0]
     rows2 = min(chunk_rows, _RETRACE_ROWS)
     avg2 = _retrace_avg_items(clusters, m_budget, retrace_factor)
@@ -880,12 +900,34 @@ def _closest_pass_one(clusters: Clusters, origins, dirs, t_max,
     return prim_out, t_out, unproven[:r], bound[:r], cull
 
 
+def _closest_seed(clusters: Clusters, origins, dirs, chunk_rows: int,
+                  seed_items: int, t_min: float, interpret: bool,
+                  seed_sc: int):
+    """Occlusion-seed pass: closest hit over only the `seed_sc` nearest
+    superclusters. Every returned finite t is a REAL intersection, so it
+    is a valid per-ray t_max bound for the main pass's cull: clusters
+    entering beyond it cannot contain a closer hit, so the main pass's
+    per-chunk unions shrink to roughly "clusters in front of the first
+    hit" — the TPU analogue of front-to-back BVH traversal early-out.
+    The seed's unproven set is ignored (a bound, not a coverage claim);
+    the main pass re-finds every seed hit (the seed cluster's slab entry
+    <= its hit t passes the seeded cull), so no result merging is needed
+    and the exactness logic is untouched."""
+    t_inf = jnp.full(dirs.shape[:1], jnp.inf, jnp.float32)
+    _, t_seed, _, _ = _closest_pass(clusters, origins, dirs, t_inf,
+                                    chunk_rows, seed_items, t_min,
+                                    interpret, seed_sc)
+    return t_seed
+
+
 def trace_closest_fused(clusters: Clusters, origins, dirs,
                         chunk_rows: int = 16, m_budget: int = 48,
                         t_min: float = 1.0e-3, interpret: bool = False,
                         sc_budget: int = 32,
                         retrace_factor: int = _RETRACE_BUDGET_SCALE,
-                        retrace_frac: int = _RETRACE_CLOSEST_FRAC):
+                        retrace_frac: int = _RETRACE_CLOSEST_FRAC,
+                        seed_sc: int | None = None,
+                        seed_items: int = 24):
     """Closest hit. Returns (prim uint32 (R,), t (R,), uncertain ()).
 
     Exactness re-trace: rays whose pass-1 best t exceeds the first-
@@ -893,10 +935,16 @@ def trace_closest_fused(clusters: Clusters, origins, dirs,
     (tighter unions) and `retrace_factor`x budgets, under lax.cond so
     exact frames pay nothing. Results merge by min t (every reported hit
     is a real intersection, so min is the strictly better of the two
-    passes); `uncertain` counts rays still beyond the re-trace bound."""
+    passes); `uncertain` counts rays still beyond the re-trace bound.
+
+    seed_sc: optional occlusion seed (_closest_seed) bounding the main
+    cull's per-ray t_max with real hits from the nearest superclusters."""
     _validate_budgets(chunk_rows, m_budget, sc_budget, retrace_frac)
     origins = jnp.broadcast_to(origins, dirs.shape)
     t_live = jnp.full(dirs.shape[:1], jnp.inf, jnp.float32)
+    if seed_sc:
+        t_live = _closest_seed(clusters, origins, dirs, chunk_rows,
+                               seed_items, t_min, interpret, seed_sc)
     prim1, t1, unp1, _ = _closest_pass(clusters, origins, dirs, t_live,
                                        chunk_rows, m_budget, t_min,
                                        interpret, sc_budget)
@@ -1145,14 +1193,21 @@ def trace_closest_attrs(clusters: Clusters, origins, dirs, ray_d_derivs,
                         t_min: float = 1.0e-3, interpret: bool = False,
                         sc_budget: int = 32,
                         retrace_factor: int = _RETRACE_BUDGET_SCALE,
-                        retrace_frac: int = _RETRACE_CLOSEST_FRAC):
+                        retrace_frac: int = _RETRACE_CLOSEST_FRAC,
+                        seed_sc: int | None = None,
+                        seed_items: int = 24):
     """Closest hit + deferred attribute fetch + exactness re-trace.
 
     Returns (prim uint32 (R,), t (R,), uncertain (), attrs
     (R, ATTR_PLANES), stale bool (R,)). attrs are computed from the FIRST
     pass's hits; `stale` marks rays whose re-traced primitive differs
     (their attrs must be recomputed by the caller from shading_rows — a
-    tiny compacted gather, the re-trace touches ~1e-3 of rays)."""
+    tiny compacted gather, the re-trace touches ~1e-3 of rays).
+
+    seed_sc: optional occlusion seed (_closest_seed) bounding the main
+    cull's per-ray t_max with real hits from the nearest superclusters;
+    the main pass re-finds every seed hit, so the attribute pass's
+    coverage (pass-1 work items) is unaffected."""
     _validate_budgets(chunk_rows, m_budget, sc_budget, retrace_frac)
     origins = jnp.broadcast_to(origins, dirs.shape)
     r = dirs.shape[0]
@@ -1179,6 +1234,9 @@ def trace_closest_attrs(clusters: Clusters, origins, dirs, ray_d_derivs,
         return prim1, t1, unp1, attrs
 
     t_live = jnp.full((r,), jnp.inf, jnp.float32)
+    if seed_sc:
+        t_live = _closest_seed(clusters, origins, dirs, chunk_rows,
+                               seed_items, t_min, interpret, seed_sc)
     prim1, t1, unp1, attrs = _slice_rays(
         closest_attr_one, origins, dirs, t_live, chunk, m_budget)
     prim1, t1, unp1, attrs = prim1[:r], t1[:r], unp1[:r], attrs[:r]
