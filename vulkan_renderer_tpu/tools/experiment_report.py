@@ -100,6 +100,43 @@ def write_report(csv_path: str, out_path: str) -> int:
                 lines.append(f"| {tech} | " + " | ".join(cells) + " |")
             lines.append("")
 
+    # --- vertex-count scaling pivot (cost vs polygon vertex count — the
+    # per-vertex-count axis of the paper's timing figures) ----------------
+    if timing and len(nvs) > 1:
+        nv_list = sorted(nvs)
+        techs = []
+        for r in rows:
+            key = _timing_key(r)
+            if key and key[0] not in techs:
+                techs.append(key[0])
+        for case, lcfg in (("central", "128L 1spp"),
+                           ("central", "1L 128spp"),
+                           ("decentral", "128L 1spp"),
+                           ("decentral", "1L 128spp")):
+            have = [t for t in techs
+                    if any((t, nv, case, lcfg) in timing for nv in nv_list)]
+            if not have:
+                continue
+            lines += [
+                f"## Vertex-count scaling — {case} case, {lcfg}",
+                "",
+                "ms/frame by polygon vertex count (the sampling "
+                "techniques' setup cost grows with the vertex count; "
+                "clipping-based techniques additionally pay the clip "
+                "jump table — experiment_list.c:364-409's sweep axis).",
+                "",
+                "| technique | " + " | ".join(f"{nv}-gon"
+                                              for nv in nv_list) + " |",
+                "|---|" + "---|" * len(nv_list),
+            ]
+            for tech in have:
+                cells = []
+                for nv in nv_list:
+                    r = timing.get((tech, nv, case, lcfg))
+                    cells.append("—" if r is None else r["frame_ms"])
+                lines.append(f"| {tech} | " + " | ".join(cells) + " |")
+            lines.append("")
+
     lines += [
         "## All experiments",
         "",
