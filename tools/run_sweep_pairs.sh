@@ -9,28 +9,54 @@
 # DISTINCT compiled frame programs per process (CLAUDE.md), which one
 # program run twice does not trigger.
 #
-# Usage: tools/run_sweep_pairs.sh [vc ...]   (default: 4 6 3 7; vc 5 was
-# committed in round 4 with the default 110/100-frame protocol. These
-# runs use 10 warmup / 16 measured frames: the per-row cost is dominated
-# by the per-process XLA compile, and the pipelined median is stable well
-# before 16 frames at the sweep's 150-1000 ms frame times.)
+# Pair cost is compile-dominated and varies 3-15+ min by technique, so the
+# driver is PHASED for graceful truncation: all vertex counts' 128-light
+# pairs first (completes the per-vertex-count scaling story for both the
+# central and decentral axes), then the 1-light 128-spp pairs. Pairs whose
+# two rows already sit in results/results.csv are skipped, so the driver
+# is idempotent and restartable.
+#
+# Usage: tools/run_sweep_pairs.sh   (vc order 4 6 3 7; vc 5 was committed
+# in round 4 with the default 110/100-frame protocol. These runs use 10
+# warmup / 16 measured frames: the pipelined median is stable well before
+# 16 frames at the sweep's 150-1000 ms frame times.)
 set -u
 cd "$(dirname "$0")/.."
-VCS=("${@:-4 6 3 7}")
 WARM=10
 MEAS=16
-for vc in ${VCS[@]}; do
+CSV=results/results.csv
+
+have_row() {
+  awk -F, -v i="$1" 'NR>1 && $1==i {found=1} END {exit !found}' "$CSV"
+}
+
+run_pair() {
+  a=$1; b=$2
+  if have_row $a && have_row $b; then
+    echo "pair $a/$b already recorded — skip"
+    return 0
+  fi
+  for attempt in 1 2; do
+    timeout 1800 python -m vulkan_renderer_tpu.experiments.harness \
+      -e $a $b --no-isolate --warmup-frames $WARM --measure-frames $MEAS
+    rc=$?
+    [ $rc -eq 0 ] && return 0
+    echo "pair $a/$b attempt $attempt rc=$rc" >&2
+    sleep 60  # wedged-relay cooldown before the retry
+  done
+}
+
+# Phase 1: 128 lights x 1 spp (pair index offsets 0..12).
+for vc in 4 6 3 7; do
   base=$((50 + (vc - 3) * 52))
-  # 128-light 1spp pairs, then 1-light 128spp pairs.
-  for i in $(seq 0 12) $(seq 13 25); do
-    a=$((base + i)); b=$((base + 26 + i))
-    for attempt in 1 2; do
-      timeout 1500 python -m vulkan_renderer_tpu.experiments.harness \
-        -e $a $b --no-isolate --warmup-frames $WARM --measure-frames $MEAS
-      rc=$?
-      [ $rc -eq 0 ] && break
-      echo "pair $a/$b attempt $attempt rc=$rc" >&2
-      sleep 60  # wedged-relay cooldown before the retry
-    done
+  for i in $(seq 0 12); do
+    run_pair $((base + i)) $((base + 26 + i))
+  done
+done
+# Phase 2: 1 light x 128 spp (offsets 13..25).
+for vc in 4 6 3 7; do
+  base=$((50 + (vc - 3) * 52))
+  for i in $(seq 13 25); do
+    run_pair $((base + i)) $((base + 26 + i))
   done
 done
