@@ -70,6 +70,11 @@ def main():
                              "megabatch (None = off)")
     parser.add_argument("--seed-items", type=int, default=24,
                         help="seed-pass per-chunk item capacity")
+    parser.add_argument("--attr-filter", action="store_true",
+                        help="attribute pass runs over only the clusters "
+                             "holding some ray's winning primitive "
+                             "(stale-fixup repairs capacity drops)")
+    parser.add_argument("--attr-avg-items", type=int, default=8)
     parser.add_argument("--retrace-mid-sc", type=int, default=None,
                         help="escalating shadow re-trace: mid-tier "
                              "supercluster budget before the exhaustive "
@@ -152,7 +157,9 @@ def main():
                          retrace_mid_sc=args.retrace_mid_sc,
                          seed_closest_sc=args.seed_closest_sc,
                          seed_shadow_sc=args.seed_shadow_sc,
-                         seed_items=args.seed_items)
+                         seed_items=args.seed_items,
+                         attr_item_filter=args.attr_filter,
+                         attr_avg_items=args.attr_avg_items)
     camera = FirstPersonCamera(
         position_world_space=np.array([0.0, 0.0, 2.0], np.float32),
         rotation_x=0.55 * np.pi, rotation_z=0.5 * np.pi)

@@ -364,7 +364,9 @@ def _render_frame_body(scene, static, settings, constants, width, height,
                     retrace_factor=static.retrace_factor,
                     retrace_frac=static.retrace_closest_frac,
                     seed_sc=static.seed_closest_sc,
-                    seed_items=static.seed_items)
+                    seed_items=static.seed_items,
+                    attr_filter=static.attr_item_filter,
+                    attr_avg_items=static.attr_avg_items)
             attr_planes, fix_residual = _fixup_stale_attrs(
                 scene, constants, attr_planes, stale, primitive_index,
                 ray_dirs)

@@ -127,6 +127,14 @@ class SceneStatic:
     seed_closest_sc: int | None = None
     seed_shadow_sc: int | None = None
     seed_items: int = 24
+    # Attribute-pass work-item filter (trace_kernel.trace_closest_attrs):
+    # the attribute grid runs over only the clusters that contain some
+    # ray's WINNING primitive (typically 1-5 per chunk vs the full
+    # ~m_budget union). Rays whose winner item falls past the
+    # attr_avg_items-per-chunk capacity repair through the stale-fixup
+    # gather (capacity-guarded; residual surfaces in primary_uncertain).
+    attr_item_filter: bool = False
+    attr_avg_items: int = 8
     # Material-sampler anisotropic filtering taps (reference:
     # scene.c:546-557 enables maxAnisotropy=16 in hardware). Default 1 =
     # isotropic trilinear: each extra tap is a full trilinear gather per

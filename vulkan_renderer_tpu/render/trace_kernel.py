@@ -1195,7 +1195,9 @@ def trace_closest_attrs(clusters: Clusters, origins, dirs, ray_d_derivs,
                         retrace_factor: int = _RETRACE_BUDGET_SCALE,
                         retrace_frac: int = _RETRACE_CLOSEST_FRAC,
                         seed_sc: int | None = None,
-                        seed_items: int = 24):
+                        seed_items: int = 24,
+                        attr_filter: bool = False,
+                        attr_avg_items: int = 8):
     """Closest hit + deferred attribute fetch + exactness re-trace.
 
     Returns (prim uint32 (R,), t (R,), uncertain (), attrs
@@ -1207,7 +1209,17 @@ def trace_closest_attrs(clusters: Clusters, origins, dirs, ray_d_derivs,
     seed_sc: optional occlusion seed (_closest_seed) bounding the main
     cull's per-ray t_max with real hits from the nearest superclusters;
     the main pass re-finds every seed hit, so the attribute pass's
-    coverage (pass-1 work items) is unaffected."""
+    coverage (pass-1 work items) is unaffected.
+
+    attr_filter: run the attribute pass over only the work items whose
+    cluster contains some ray's WINNING primitive (typically 1-5 clusters
+    per chunk vs the full ~m_budget union — the attribute grid shrinks
+    accordingly; `needed` is one flat lookup because items encode
+    chunk*kpad + cluster). Chunks whose filtered items exceed the
+    attr_avg_items-per-chunk capacity are dropped whole: their hit rays
+    come back with found=0 and are repaired through the same stale-fixup
+    gather as re-traced rays (capacity-guarded, residual surfaced in
+    `uncertain` — never silent)."""
     _validate_budgets(chunk_rows, m_budget, sc_budget, retrace_frac)
     origins = jnp.broadcast_to(origins, dirs.shape)
     r = dirs.shape[0]
@@ -1225,12 +1237,33 @@ def trace_closest_attrs(clusters: Clusters, origins, dirs, ray_d_derivs,
         pad = nc * chunk - r1
         if pad:
             prim_f = jnp.concatenate([prim_f, jnp.full((pad,), -1.0)])
+        if attr_filter:
+            k = clusters.cluster_count
+            kpad = k + 1
+            c = clusters.cluster_size
+            pc = jnp.where(prim1 == INVALID, jnp.int32(kpad),
+                           (prim1 // c).astype(jnp.int32))
+            if pad:
+                pc = jnp.concatenate(
+                    [pc, jnp.full((pad,), kpad, jnp.int32)])
+            ray_chunk = (jnp.arange(nc * chunk, dtype=jnp.int32)
+                         // chunk)
+            # (nc, kpad) winner-cluster sets; misses (pc == kpad) drop.
+            needed_flat = jnp.zeros((nc * kpad,), bool).at[
+                ray_chunk * kpad + pc].set(True, mode="drop")
+            needed = needed_flat[items]
+            cap2 = max(min(nc * attr_avg_items, items.shape[0]), 1)
+            items_a, counts_a, _, _ = _pack_item_list(
+                needed, items, items // kpad, nc, cap2,
+                (nc - 1) * kpad + k)
+        else:
+            items_a, counts_a = items, counts
         rays8 = jnp.concatenate(
             [rays, prim_f.reshape(1, -1, _LANE)], axis=0)
-        acc = _attr_pass_one(clusters, items, counts, rays8, nc,
+        acc = _attr_pass_one(clusters, items_a, counts_a, rays8, nc,
                              chunk_rows, interpret)
         attrs = _attrs_finalize(acc, rays8.reshape(8, -1), dcam,
-                                _visited_mask(counts, chunk))[:r1]
+                                _visited_mask(counts_a, chunk))[:r1]
         return prim1, t1, unp1, attrs
 
     t_live = jnp.full((r,), jnp.inf, jnp.float32)
@@ -1241,9 +1274,12 @@ def trace_closest_attrs(clusters: Clusters, origins, dirs, ray_d_derivs,
         closest_attr_one, origins, dirs, t_live, chunk, m_budget)
     prim1, t1, unp1, attrs = prim1[:r], t1[:r], unp1[:r], attrs[:r]
 
-    no_stale = jnp.zeros((r,), bool)
+    # Hit rays whose attributes came back not-found (possible only when
+    # attr_filter dropped their winner item past the capacity) repair
+    # through the same stale-fixup gather as re-traced rays.
+    base_stale = (prim1 != INVALID) & (attrs[:, -1] < 0.5)
     if retrace_factor <= 1:
-        return prim1, t1, jnp.sum(unp1, dtype=jnp.int32), attrs, no_stale
+        return prim1, t1, jnp.sum(unp1, dtype=jnp.int32), attrs, base_stale
     rows2 = min(chunk_rows, _RETRACE_ROWS)
     avg2 = _retrace_avg_items(clusters, m_budget, retrace_factor)
 
@@ -1260,12 +1296,13 @@ def trace_closest_attrs(clusters: Clusters, origins, dirs, ray_d_derivs,
         scatter_idx = jnp.where(live2, idx, jnp.int32(r))
         t = t1.at[scatter_idx].set(t_sel, mode="drop")
         prim = prim1.at[scatter_idx].set(prim_sel, mode="drop")
-        stale = no_stale.at[scatter_idx].set(better, mode="drop")
+        stale = base_stale.at[scatter_idx].set(
+            better | base_stale[idx], mode="drop")
         residual = missed + jnp.sum(unp2 & live2, dtype=jnp.int32)
         return prim, t, residual, stale
 
     def skip(_):
-        return prim1, t1, jnp.int32(0), no_stale
+        return prim1, t1, jnp.int32(0), base_stale
 
     prim, t, residual, stale = jax.lax.cond(jnp.any(unp1), do_retrace,
                                             skip, None)
