@@ -70,6 +70,10 @@ def main():
                              "megabatch (None = off)")
     parser.add_argument("--seed-items", type=int, default=24,
                         help="seed-pass per-chunk item capacity")
+    parser.add_argument("--raster", action="store_true",
+                        help="primary visibility via rasterizer-style "
+                             "screen-space cluster binning (exact "
+                             "coverage, no supercluster budget)")
     parser.add_argument("--attr-filter", action="store_true",
                         help="attribute pass runs over only the clusters "
                              "holding some ray's winning primitive "
@@ -158,6 +162,7 @@ def main():
                          seed_closest_sc=args.seed_closest_sc,
                          seed_shadow_sc=args.seed_shadow_sc,
                          seed_items=args.seed_items,
+                         primary_raster=args.raster,
                          attr_item_filter=args.attr_filter,
                          attr_avg_items=args.attr_avg_items)
     camera = FirstPersonCamera(

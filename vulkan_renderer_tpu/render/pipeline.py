@@ -309,7 +309,21 @@ def _render_frame_body(scene, static, settings, constants, width, height,
     tiled = morton_order and width % 64 == 0 and height > tile_h
     render_h = height
     inv_perm = None
+    chunk_rects = None
     if tiled:
+        if static.primary_raster:
+            # Static per-chunk pixel rects (one chunk == one tile_h x 64
+            # tile; bounds are inclusive pixel-center coordinates).
+            ty0, tx0 = -(-height // tile_h), width // 64
+            ti = np.repeat(np.arange(ty0), tx0).astype(np.float32)
+            tj = np.tile(np.arange(tx0), ty0).astype(np.float32)
+            chunk_rects = jnp.asarray(np.stack(
+                [tj * 64, ti * tile_h, tj * 64 + 63,
+                 ti * tile_h + tile_h - 1], axis=1))
+            if row_offset is not None:
+                off = jnp.asarray(row_offset, jnp.float32)
+                chunk_rects = chunk_rects + jnp.stack(
+                    [jnp.float32(0.0), off, jnp.float32(0.0), off])
         render_h = -(-height // tile_h) * tile_h  # pad rows, crop at end
         ty, tx = render_h // tile_h, width // 64
         yy, xx = np.meshgrid(np.arange(render_h, dtype=np.float32),
@@ -333,6 +347,26 @@ def _render_frame_body(scene, static, settings, constants, width, height,
             perm_np, inv_np = morton_pixel_permutation(width, height)
             pixels_f = pixels_f[jnp.asarray(perm_np)]
             inv_perm = jnp.asarray(inv_np)
+            if static.primary_raster:
+                # Per-chunk rects from the static Morton order (partial
+                # final chunk included; bounds in pixel centers).
+                chunk = static.trace_chunk_rows * 128
+                pxy = np.stack([perm_np % width, perm_np // width],
+                               axis=1).astype(np.float32)
+                nc0 = -(-pxy.shape[0] // chunk)
+                pad0 = nc0 * chunk - pxy.shape[0]
+                if pad0:
+                    pxy = np.concatenate(
+                        [pxy, np.repeat(pxy[-1:], pad0, axis=0)])
+                pxy = pxy.reshape(nc0, chunk, 2)
+                rects_np = np.concatenate(
+                    [pxy.min(axis=1), pxy.max(axis=1)], axis=1)
+                if row_offset is not None:
+                    off = jnp.asarray(row_offset, jnp.float32)
+                    chunk_rects = jnp.asarray(rects_np) + jnp.stack(
+                        [jnp.float32(0.0), off, jnp.float32(0.0), off])
+                else:
+                    chunk_rects = jnp.asarray(rects_np)
     pixels_i = pixels_f.astype(jnp.int32)
     # Integer pixel -> ray dir via the pixel_to_ray matrix (glsl:833).
     ray_dirs = (jnp.concatenate([pixels_f, jnp.ones_like(pixels_f[:, :1])],
@@ -345,8 +379,14 @@ def _render_frame_body(scene, static, settings, constants, width, height,
     geom_attrs = None
     attr_position = None
     if use_pallas_trace:
-        from .trace_kernel import (trace_anyhit_fused, trace_closest_attrs,
-                                   trace_closest_fused)
+        from .trace_kernel import (cluster_screen_rects, trace_anyhit_fused,
+                                   trace_closest_attrs, trace_closest_fused)
+        raster = None
+        if static.primary_raster and chunk_rects is not None:
+            raster = (cluster_screen_rects(scene.clusters,
+                                           constants.pixel_to_ray,
+                                           constants.camera_position),
+                      chunk_rects)
         if scene.clusters.attrs is not None:
             # Closest hit + in-kernel attribute fetch: replaces the
             # per-pixel shading_rows gather + vmapped re-intersection
@@ -366,7 +406,8 @@ def _render_frame_body(scene, static, settings, constants, width, height,
                     seed_sc=static.seed_closest_sc,
                     seed_items=static.seed_items,
                     attr_filter=static.attr_item_filter,
-                    attr_avg_items=static.attr_avg_items)
+                    attr_avg_items=static.attr_avg_items,
+                    raster=raster)
             attr_planes, fix_residual = _fixup_stale_attrs(
                 scene, constants, attr_planes, stale, primitive_index,
                 ray_dirs)
@@ -389,7 +430,8 @@ def _render_frame_body(scene, static, settings, constants, width, height,
                 retrace_factor=static.retrace_factor,
                 retrace_frac=static.retrace_closest_frac,
                 seed_sc=static.seed_closest_sc,
-                seed_items=static.seed_items)
+                seed_items=static.seed_items,
+                raster=raster)
     elif traversal == "wavefront":
         primitive_index, _, primary_uncertain = trace_closest(
             scene.clusters, constants.camera_position, ray_dirs,

@@ -127,6 +127,16 @@ class SceneStatic:
     seed_closest_sc: int | None = None
     seed_shadow_sc: int | None = None
     seed_items: int = 24
+    # Rasterizer-style primary visibility binning (VERDICT r4 #2; the
+    # reference gets primary visibility from its rasterizer subpass,
+    # main.c:429-584): cluster AABBs are PROJECTED to pixel space and
+    # binned against each trace chunk's static pixel-tile rect
+    # (trace_kernel.cluster_screen_rects/_raster_items) instead of the
+    # per-ray slab cull. Coverage is exact (no supercluster budget), the
+    # per-pixel test stays ray-triangle, so the primitive-id buffer is
+    # identical to the ray-cast path's. Only the tiled/Morton pixel
+    # orders support it (chunk = pixel tile).
+    primary_raster: bool = False
     # Attribute-pass work-item filter (trace_kernel.trace_closest_attrs):
     # the attribute grid runs over only the clusters that contain some
     # ray's WINNING primitive (typically 1-5 per chunk vs the full

@@ -308,6 +308,121 @@ def _union_items_budget(clusters: Clusters, o_c, d_c, t_c, chunk: int,
     return items, counts, t_bound, overflow, nc
 
 
+def _inv3(m):
+    """Cofactor inverse of a (3, 3) matrix (deterministic, no LU)."""
+    c0 = jnp.cross(m[:, 1], m[:, 2])
+    c1 = jnp.cross(m[:, 2], m[:, 0])
+    c2 = jnp.cross(m[:, 0], m[:, 1])
+    det = jnp.dot(m[:, 0], c0)
+    return jnp.stack([c0, c1, c2]) / det
+
+
+# Conservative pixel padding for projected cluster rects: covers the fp
+# error of the cofactor inverse + projection (relative term) with a 2 px
+# absolute floor (generous; rect slack only adds a few cheap work items).
+_RECT_PAD_ABS = 2.0
+_RECT_PAD_REL = 1e-4
+
+
+def cluster_screen_rects(clusters: Clusters, pixel_to_ray,
+                         camera_position, t_min: float = 1.0e-3):
+    """Project every cluster AABB into PIXEL space: the rasterizer-style
+    binning transform (reference: visibility_pass.vert.glsl:27-33 projects
+    each vertex; here the per-cluster bound is projected once and the
+    exact per-pixel test stays ray-triangle, so the primitive-id buffer is
+    identical to the ray-cast path's by construction).
+
+    Works in the exact inverse of the ray-generation basis: ray(px, py) =
+    M @ (px, py, 1) (render/pipeline.py), so h = M^-1 @ (p - cam) =
+    t * (px, py, 1) — h.z IS the ray parameter t of the pixel whose ray
+    passes through p. Hence:
+      - a cluster whose 8 corners all have h.z <= 0 lies behind the eye
+        plane and no primary ray (t >= t_min > 0) can hit it: drop;
+      - a cluster crossing h.z ~ 0 has an unbounded projection: full
+        screen (conservative);
+      - otherwise the hull's projection is the convex hull of the 8
+        projected corners (projective maps preserve convexity while w > 0)
+        and the rect is their padded min/max.
+
+    Returns (K, 4) float32 [x0, y0, x1, y1]; dropped clusters get an
+    inverted rect that overlaps nothing."""
+    lo, hi = clusters.aabb_lo, clusters.aabb_hi
+    basis = _inv3(jnp.asarray(pixel_to_ray, jnp.float32))
+    sel = jnp.asarray(
+        [[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)],
+        jnp.float32)
+    corners = (lo[:, None, :] * (1.0 - sel)[None]
+               + hi[:, None, :] * sel[None])  # (K, 8, 3)
+    rel = corners - jnp.asarray(camera_position, jnp.float32)
+    # Elementwise (not @): the TPU default would round these f32 matmuls
+    # through bf16 MXU passes (see pipeline.py precision note).
+    h = jnp.einsum("ij,kcj->kci", basis, rel,
+                   precision=jax.lax.Precision.HIGHEST)
+    w = h[..., 2]
+    behind = jnp.all(w <= 0.0, axis=1)
+    # w is in ray-t units, so t_min is the natural "too close to the eye
+    # plane to project safely" threshold.
+    unsafe = jnp.any(w <= np.float32(t_min), axis=1) & ~behind
+    w_safe = jnp.where(w <= np.float32(t_min), 1.0, w)
+    px = h[..., 0] / w_safe
+    py = h[..., 1] / w_safe
+    big = np.float32(1e9)
+
+    def rect(v):
+        v0, v1 = jnp.min(v, axis=1), jnp.max(v, axis=1)
+        pad = _RECT_PAD_ABS + _RECT_PAD_REL * jnp.maximum(
+            jnp.abs(v0), jnp.abs(v1))
+        return v0 - pad, v1 + pad
+
+    x0, x1 = rect(px)
+    y0, y1 = rect(py)
+    x0 = jnp.where(unsafe, -big, x0)
+    y0 = jnp.where(unsafe, -big, y0)
+    x1 = jnp.where(unsafe, big, x1)
+    y1 = jnp.where(unsafe, big, y1)
+    x0 = jnp.where(behind, big, x0)
+    x1 = jnp.where(behind, -big, x1)
+    return jnp.stack([x0, y0, x1, y1], axis=1)
+
+
+def _raster_items(clusters: Clusters, crects, chunk_rects, chunk: int,
+                  avg_items: int):
+    """Screen-space work-item binning for PRIMARY rays: a (chunk, cluster)
+    item exists iff the cluster's projected rect overlaps the chunk's
+    static pixel-tile rect. Replaces the per-ray slab cull (which is
+    O(rays x superclusters) and needs an exactness budget): binning is
+    O(K x chunks) of VPU compares and its coverage is EXACT — the hit
+    point of any chunk ray projects to that ray's own pixel, which lies in
+    the chunk rect, so the hit cluster's rect overlaps it. The only drop
+    source left is the static item capacity (capped chunks re-trace).
+
+    Same item encoding/order (chunk-major, cluster-ascending) as
+    _union_items, so the downstream kernel and tie behavior are shared.
+    Returns (items, counts, t_bound, dropped, nc)."""
+    k = clusters.cluster_count
+    kpad = k + 1
+    nc = chunk_rects.shape[0]
+    cap = max(min(nc * avg_items, _MAX_ITEMS), 1)
+    keep = ((crects[None, :, 0] <= chunk_rects[:, None, 2])
+            & (crects[None, :, 2] >= chunk_rects[:, None, 0])
+            & (crects[None, :, 1] <= chunk_rects[:, None, 3])
+            & (crects[None, :, 3] >= chunk_rects[:, None, 1]))  # (nc, K)
+    ids = jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32)[None, :],
+                           (nc, k))
+    chunk_of = jnp.broadcast_to(jnp.arange(nc, dtype=jnp.int32)[:, None],
+                                (nc, k))
+    items, counts, capped, overflow = _pack_item_list(
+        keep.reshape(-1), (chunk_of * kpad + ids).reshape(-1),
+        chunk_of.reshape(-1), nc, cap, (nc - 1) * kpad + k)
+    t_bound = jnp.where(capped[:, None], 0.0,
+                        jnp.full((nc, chunk), jnp.inf))
+    counts = jnp.where(capped, 0, counts)
+    return items, counts, t_bound, overflow, nc
+
+
+_EMPTY_RECT = np.array([1e9, 1e9, -1e9, -1e9], np.float32)
+
+
 def _pack_rays(origins, dirs, t_max, chunk: int):
     """(R,3)x2 + (R,) -> (7, NR, 128) with dead padding (t_max = -1)."""
     r = dirs.shape[0]
@@ -394,18 +509,23 @@ _MAX_PREFETCH_BYTES = 384 * 1024
 _MIN_SLICE_CHUNKS = 64
 
 
-def _slice_rays(pass_one, origins, dirs, t_max, chunk: int, avg_items: int):
-    """Run pass_one(origins, dirs, t_max) over ray slices bounded so each
-    slice's item capacity fits the SMEM prefetch budget; concatenates the
-    per-slice outputs along the ray axis (callers trim to the real ray
-    count). The slices are independent by construction: chunks never span
-    a slice boundary, and per-chunk state (union, out block) is local."""
+def _slice_rays(pass_one, origins, dirs, t_max, chunk: int, avg_items: int,
+                chunk_rects=None):
+    """Run pass_one(origins, dirs, t_max[, chunk_rects]) over ray slices
+    bounded so each slice's item capacity fits the SMEM prefetch budget;
+    concatenates the per-slice outputs along the ray axis (callers trim to
+    the real ray count). The slices are independent by construction:
+    chunks never span a slice boundary, and per-chunk state (union, out
+    block) is local. chunk_rects (NC, 4) slices alongside the rays (one
+    rect per chunk; padding slices get empty rects)."""
     r = dirs.shape[0]
     slice_chunks = max(_MIN_SLICE_CHUNKS,
                        _MAX_PREFETCH_BYTES // max(avg_items * 4, 1))
     nc_total = -(-r // chunk)
     if nc_total <= slice_chunks:
-        return pass_one(origins, dirs, t_max)
+        if chunk_rects is None:
+            return pass_one(origins, dirs, t_max)
+        return pass_one(origins, dirs, t_max, chunk_rects)
     rays_per = slice_chunks * chunk
     ns = -(-r // rays_per)
     pad = ns * rays_per - r
@@ -416,10 +536,22 @@ def _slice_rays(pass_one, origins, dirs, t_max, chunk: int, avg_items: int):
             jnp.asarray([0.0, 0.0, 1.0], jnp.float32), (pad, 3))])
         t_max = jnp.concatenate(
             [t_max, jnp.full((pad,), -1.0, jnp.float32)])
-    outs = jax.lax.map(
-        lambda a: pass_one(a[0], a[1], a[2]),
-        (origins.reshape(ns, rays_per, 3), dirs.reshape(ns, rays_per, 3),
-         t_max.reshape(ns, rays_per)))
+    if chunk_rects is None:
+        outs = jax.lax.map(
+            lambda a: pass_one(a[0], a[1], a[2]),
+            (origins.reshape(ns, rays_per, 3),
+             dirs.reshape(ns, rays_per, 3), t_max.reshape(ns, rays_per)))
+    else:
+        pad_c = ns * slice_chunks - chunk_rects.shape[0]
+        if pad_c:
+            chunk_rects = jnp.concatenate(
+                [chunk_rects, jnp.broadcast_to(
+                    jnp.asarray(_EMPTY_RECT), (pad_c, 4))])
+        outs = jax.lax.map(
+            lambda a: pass_one(a[0], a[1], a[2], a[3]),
+            (origins.reshape(ns, rays_per, 3),
+             dirs.reshape(ns, rays_per, 3), t_max.reshape(ns, rays_per),
+             chunk_rects.reshape(ns, slice_chunks, 4)))
     return jax.tree.map(
         lambda o: o.reshape((ns * o.shape[1],) + o.shape[2:]), outs)
 
@@ -747,40 +879,52 @@ def trace_anyhit_fused(clusters: Clusters, origins, dirs, t_max,
 
 def _closest_pass(clusters: Clusters, origins, dirs, t_max,
                   chunk_rows: int, avg_items: int,
-                  t_min: float, interpret: bool, sc_budget: int):
+                  t_min: float, interpret: bool, sc_budget: int,
+                  raster=None):
     """One closest-hit pass over ray slices (SMEM-bounded). t_max: (R,)
     with -1 marking dead rays (the re-trace pass deadens already-proven
     rays this way). Returns (prim uint32 (R,), t (R,), unproven bool (R,),
     bound (R,)): unproven marks live rays whose best t exceeds the per-ray
     first-dropped-supercluster entry bound (0 for capacity-capped chunks)
     — only those could be wrong (front-to-back supercluster selection
-    makes near hits provably exact)."""
+    makes near hits provably exact).
+
+    raster: optional (cluster_rects (K, 4), chunk_rects (NC, 4)) pair
+    switching the cull to screen-space binning (_raster_items)."""
     origins = jnp.broadcast_to(origins, dirs.shape)
     chunk = chunk_rows * _LANE
     r = dirs.shape[0]
+    crects, chunk_rects = raster if raster is not None else (None, None)
     prim, t, unp, bound = _slice_rays(
-        lambda o, d, tm: _closest_pass_one(clusters, o, d, tm, chunk_rows,
-                                           avg_items, t_min, interpret,
-                                           sc_budget)[:4],
-        origins, dirs, t_max, chunk, avg_items)
+        lambda o, d, tm, *rc: _closest_pass_one(
+            clusters, o, d, tm, chunk_rows, avg_items, t_min, interpret,
+            sc_budget, crects=crects,
+            chunk_rects=rc[0] if rc else None)[:4],
+        origins, dirs, t_max, chunk, avg_items, chunk_rects=chunk_rects)
     return prim[:r], t[:r], unp[:r], bound[:r]
 
 
 def _closest_pass_one(clusters: Clusters, origins, dirs, t_max,
                       chunk_rows: int, avg_items: int,
-                      t_min: float, interpret: bool, sc_budget: int):
+                      t_min: float, interpret: bool, sc_budget: int,
+                      crects=None, chunk_rects=None):
     """Single-slice closest hit. Also returns the cull artifacts
     (items, counts, rays, nc) so the attribute pass can reuse the SAME
     work-item coverage (its per-ray selected primitive is then covered by
-    construction)."""
+    construction). With crects/chunk_rects the cull is screen-space
+    binning (_raster_items) instead of slab tests."""
     chunk = chunk_rows * _LANE
     k = clusters.cluster_count
     kpad = k + 1
     c = clusters.cluster_size
 
-    items, counts, t_bound, _, nc = _union_items(
-        clusters, origins, dirs, t_max, chunk, avg_items,
-        sc_budget=sc_budget)
+    if crects is not None:
+        items, counts, t_bound, _, nc = _raster_items(
+            clusters, crects, chunk_rects, chunk, avg_items)
+    else:
+        items, counts, t_bound, _, nc = _union_items(
+            clusters, origins, dirs, t_max, chunk, avg_items,
+            sc_budget=sc_budget)
     cap = items.shape[0]
     rays, r = _pack_rays(origins, dirs, t_max, chunk)
     tab, aabb, sub = _padded_tables(clusters)
@@ -927,7 +1071,8 @@ def trace_closest_fused(clusters: Clusters, origins, dirs,
                         retrace_factor: int = _RETRACE_BUDGET_SCALE,
                         retrace_frac: int = _RETRACE_CLOSEST_FRAC,
                         seed_sc: int | None = None,
-                        seed_items: int = 24):
+                        seed_items: int = 24,
+                        raster=None):
     """Closest hit. Returns (prim uint32 (R,), t (R,), uncertain ()).
 
     Exactness re-trace: rays whose pass-1 best t exceeds the first-
@@ -938,7 +1083,12 @@ def trace_closest_fused(clusters: Clusters, origins, dirs,
     passes); `uncertain` counts rays still beyond the re-trace bound.
 
     seed_sc: optional occlusion seed (_closest_seed) bounding the main
-    cull's per-ray t_max with real hits from the nearest superclusters."""
+    cull's per-ray t_max with real hits from the nearest superclusters.
+
+    raster: optional (cluster_rects, chunk_rects) from
+    cluster_screen_rects + the caller's static pixel-tile rects; switches
+    the primary cull to exact screen-space binning (unproven can then
+    arise only from the item capacity)."""
     _validate_budgets(chunk_rows, m_budget, sc_budget, retrace_frac)
     origins = jnp.broadcast_to(origins, dirs.shape)
     t_live = jnp.full(dirs.shape[:1], jnp.inf, jnp.float32)
@@ -947,7 +1097,8 @@ def trace_closest_fused(clusters: Clusters, origins, dirs,
                                seed_items, t_min, interpret, seed_sc)
     prim1, t1, unp1, _ = _closest_pass(clusters, origins, dirs, t_live,
                                        chunk_rows, m_budget, t_min,
-                                       interpret, sc_budget)
+                                       interpret, sc_budget,
+                                       raster=raster)
     if retrace_factor <= 1:
         return prim1, t1, jnp.sum(unp1, dtype=jnp.int32)
     r = dirs.shape[0]
@@ -1197,7 +1348,8 @@ def trace_closest_attrs(clusters: Clusters, origins, dirs, ray_d_derivs,
                         seed_sc: int | None = None,
                         seed_items: int = 24,
                         attr_filter: bool = False,
-                        attr_avg_items: int = 8):
+                        attr_avg_items: int = 8,
+                        raster=None):
     """Closest hit + deferred attribute fetch + exactness re-trace.
 
     Returns (prim uint32 (R,), t (R,), uncertain (), attrs
@@ -1219,17 +1371,22 @@ def trace_closest_attrs(clusters: Clusters, origins, dirs, ray_d_derivs,
     attr_avg_items-per-chunk capacity are dropped whole: their hit rays
     come back with found=0 and are repaired through the same stale-fixup
     gather as re-traced rays (capacity-guarded, residual surfaced in
-    `uncertain` — never silent)."""
+    `uncertain` — never silent).
+
+    raster: optional (cluster_rects, chunk_rects) switching the primary
+    cull to exact screen-space binning (see trace_closest_fused)."""
     _validate_budgets(chunk_rows, m_budget, sc_budget, retrace_frac)
     origins = jnp.broadcast_to(origins, dirs.shape)
     r = dirs.shape[0]
     chunk = chunk_rows * _LANE
     dcam = jnp.asarray(ray_d_derivs, jnp.float32).reshape(2, 3)
+    crects, chunk_rects = raster if raster is not None else (None, None)
 
-    def closest_attr_one(o, d, tm):
+    def closest_attr_one(o, d, tm, *rc):
         prim1, t1, unp1, _, cull = _closest_pass_one(
             clusters, o, d, tm, chunk_rows, m_budget, t_min, interpret,
-            sc_budget)
+            sc_budget, crects=crects,
+            chunk_rects=rc[0] if rc else None)
         items, counts, rays, nc = cull
         r1 = d.shape[0]
         prim_f = jnp.where(prim1 == INVALID, -1.0,
@@ -1271,7 +1428,8 @@ def trace_closest_attrs(clusters: Clusters, origins, dirs, ray_d_derivs,
         t_live = _closest_seed(clusters, origins, dirs, chunk_rows,
                                seed_items, t_min, interpret, seed_sc)
     prim1, t1, unp1, attrs = _slice_rays(
-        closest_attr_one, origins, dirs, t_live, chunk, m_budget)
+        closest_attr_one, origins, dirs, t_live, chunk, m_budget,
+        chunk_rects=chunk_rects)
     prim1, t1, unp1, attrs = prim1[:r], t1[:r], unp1[:r], attrs[:r]
 
     # Hit rays whose attributes came back not-found (possible only when
