@@ -339,10 +339,25 @@ def run_experiments(experiments, build_application=None, *,
         # queue every frame instead adds a full host<->device roundtrip
         # per frame (~90 ms through the axon relay — 30% inflation at
         # the 1080p timing-sweep configs).
-        for _ in range(max(measure_frames, 2)):
-            app.render_frame_async()
-            app.timer.record()
-        image = app.render_frame_sync()
+        #
+        # EXACTLY ONE timer stamp per retired frame — render_frame_async
+        # records when it retires. An extra per-dispatch record here made
+        # the deltas ALTERNATE (retire-to-return ~0 ms, return-to-retire
+        # ~T), so np.median sat on the population boundary and could read
+        # (0+T)/2: the sweep's silent ~T/2 outliers (r4 rows 174/186,
+        # measured 2026-08-19 with a CPU stamp probe).
+        n = max(measure_frames, 2)
+        if n >= app.frames_in_flight + 4:
+            for _ in range(n):
+                app.render_frame_async()
+            image = app.render_frame_sync()
+        else:
+            # Too few frames for the queue to reach steady state (the
+            # CPU figure protocol measures 2): time sync latency instead
+            # (one stamp per render_frame_sync).
+            image = None
+            for _ in range(n):
+                image = app.render_frame_sync()
         frame_ms = app.timer.median_frame_time() * 1000.0
         stand_in = bool(getattr(app, "scene_stand_in", False)
                         or getattr(app, "layout_stand_in", False))
