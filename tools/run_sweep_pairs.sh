@@ -47,14 +47,17 @@ run_pair() {
 }
 
 # Phase 1: 128 lights x 1 spp (pair index offsets 0..12).
-for vc in 4 6 3 7; do
+# vc 5 leads: its cells are committed except pairs purged for the pre-fix
+# double-stamp timer artifact (T/2 medians) — idempotent skipping makes
+# revisiting it nearly free.
+for vc in 5 4 6 3 7; do
   base=$((50 + (vc - 3) * 52))
   for i in $(seq 0 12); do
     run_pair $((base + i)) $((base + 26 + i))
   done
 done
 # Phase 2: 1 light x 128 spp (offsets 13..25).
-for vc in 4 6 3 7; do
+for vc in 5 4 6 3 7; do
   base=$((50 + (vc - 3) * 52))
   for i in $(seq 13 25); do
     run_pair $((base + i)) $((base + 26 + i))
