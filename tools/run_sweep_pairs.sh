@@ -40,7 +40,17 @@ run_pair() {
     timeout 1800 python -m vulkan_renderer_tpu.experiments.harness \
       -e $a $b --no-isolate --warmup-frames $WARM --measure-frames $MEAS
     rc=$?
-    [ $rc -eq 0 ] && return 0
+    if [ $rc -eq 0 ]; then
+      # Evidence must not evaporate with the working tree (round 4 lost
+      # 25 uncommitted rows to the end-of-round snapshot): commit the
+      # sweep CSV after every completed pair, results.csv only.
+      if ! git diff --quiet -- results/results.csv; then
+        git add results/results.csv \
+          && git commit -q -m "Sweep rows $a/$b" -- results/results.csv \
+          || true
+      fi
+      return 0
+    fi
     echo "pair $a/$b attempt $attempt rc=$rc" >&2
     sleep 60  # wedged-relay cooldown before the retry
   done
