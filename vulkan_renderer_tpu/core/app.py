@@ -188,6 +188,62 @@ class Application:
             return oldest
         return None
 
+    def autotune_exactness(self, max_tiers: int = 4) -> dict:
+        """Feed the frame-1 exactness counters back into budget selection.
+
+        Renders a probe frame and, while either tracer counter is nonzero,
+        escalates the failing budget family and re-probes — so an
+        arbitrary scene reaches 0/0 counters without hand-tuned flags
+        (the reference never needs this because rayQueryEXT traversal is
+        exhaustive by construction; here exactness is a budgeted re-trace,
+        render/trace_kernel.py). Each tier changes the jit static, i.e.
+        costs one recompile — call once at scene load, not per frame.
+
+        Escalation per tier: re-trace enabled (retrace_factor >= 2), then
+        2x re-trace ray capacity (frac // 2) + 2x cull budget for
+        whichever counter fired. Returns {tiers, primary_uncertain,
+        shadow_overflow} with the final (post-escalation) counters.
+        """
+        uncertain, overflow = self._probe_counters()
+        tiers = 0
+        while (uncertain or overflow) and tiers < max_tiers:
+            tiers += 1
+            s = self.static
+            repl = {}
+            if s.retrace_factor < 2:
+                repl["retrace_factor"] = 2
+            if uncertain:
+                repl["retrace_closest_frac"] = max(
+                    1, s.retrace_closest_frac // 2)
+                repl["primary_sc_budget"] = 2 * s.primary_sc_budget
+                repl["primary_pairs_per_ray"] = 2 * s.primary_pairs_per_ray
+            if overflow:
+                repl["retrace_shadow_frac"] = max(
+                    1, s.retrace_shadow_frac // 2)
+                repl["shadow_pairs_per_ray"] = 2 * s.shadow_pairs_per_ray
+                if self.scene.clusters is not None:
+                    repl["shadow_sc_budget"] = 2 * s.resolved_shadow_sc(
+                        int(self.scene.clusters.aabb_lo.shape[0]))
+            self.static = dataclasses.replace(s, **repl)
+            uncertain, overflow = self._probe_counters()
+        return {"tiers": tiers, "primary_uncertain": uncertain,
+                "shadow_overflow": overflow}
+
+    def _probe_counters(self) -> tuple:
+        """One out-of-loop frame rendered for its exactness counters (the
+        noise seed does not advance: the probe must see the same sample
+        pattern the next real frame will)."""
+        _, randoms = advance_noise_random_numbers(
+            self.noise_seed,
+            self.settings.animate_noise and self.settings.frame_bits == 0)
+        constants = make_frame_constants(
+            self.scene_spec.camera, self.width, self.height, self.settings,
+            randoms)
+        _, stats = render_frame_jit(self.scene, self.static, self.settings,
+                                    constants, self.width, self.height,
+                                    with_stats=True)
+        return int(stats.primary_uncertain), int(stats.shadow_overflow)
+
     def _retire_stats(self, stats) -> None:
         uncertain = int(stats.primary_uncertain)
         overflow = int(stats.shadow_overflow)
