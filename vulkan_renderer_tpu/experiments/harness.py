@@ -416,20 +416,31 @@ def _cell_band(csv_path: str, experiment) -> float | None:
 
 def _append_csv_sorted(csv_path: str, header: str, row: str) -> None:
     """Append a row keeping the file sorted by experiment index (advisor
-    r4: rows 177/179 landed after 181 and broke the ascending order)."""
-    lines = []
-    if os.path.exists(csv_path):
-        with open(csv_path) as f:
-            lines = [l for l in f.read().splitlines() if l.strip()]
-        lines = lines[1:]  # drop header
-    index = row.split(",", 1)[0]
-    # Same index = same experiment re-measured: the new row replaces it.
-    lines = [l for l in lines if l.split(",", 1)[0] != index]
-    lines.append(row)
-    lines.sort(key=lambda l: int(l.split(",", 1)[0]))
-    with open(csv_path, "w") as f:
-        f.write(header)
-        f.write("\n".join(lines) + "\n")
+    r4: rows 177/179 landed after 181 and broke the ascending order).
+
+    The whole read-modify-write runs under an exclusive flock on a
+    sidecar lockfile: a TPU sweep driver and a CPU figure batch may
+    legitimately retire rows concurrently, and two unlocked rewrites
+    interleaving would silently drop whichever row lost the race."""
+    import fcntl
+
+    lock_path = csv_path + ".lock"
+    with open(lock_path, "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        lines = []
+        if os.path.exists(csv_path):
+            with open(csv_path) as f:
+                lines = [l for l in f.read().splitlines() if l.strip()]
+            lines = lines[1:]  # drop header
+        index = row.split(",", 1)[0]
+        # Same index = same experiment re-measured: the new row replaces
+        # it.
+        lines = [l for l in lines if l.split(",", 1)[0] != index]
+        lines.append(row)
+        lines.sort(key=lambda l: int(l.split(",", 1)[0]))
+        with open(csv_path, "w") as f:
+            f.write(header)
+            f.write("\n".join(lines) + "\n")
 
 
 def main(argv=None) -> int:
