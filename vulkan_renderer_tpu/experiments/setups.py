@@ -100,10 +100,16 @@ def _scene_default_camera(scene_key: str) -> FirstPersonCamera:
         return FirstPersonCamera(
             position_world_space=np.array([0.0, 0.0, 2.0], np.float32),
             rotation_x=0.55 * np.pi, rotation_z=0.5 * np.pi)
-    # Plane scenes: look down the plane at a shallow angle.
+    # Plane scenes: look down at the plane from the -y side at a shallow
+    # angle. In this camera convention rotation_z=pi faces +y and
+    # rotation_x<pi/2 pitches DOWN: the center ray hits z=0 at
+    # (0.07, -0.88), well inside the 10x10 plane extent. (The previous
+    # (0.62pi, 0) faced -y and upward — every plane-scene figure and the
+    # RMSE config-1 run rendered pure black, and the 0.000e+00 "RMSE"
+    # was two black frames agreeing.)
     return FirstPersonCamera(
         position_world_space=np.array([0.0, -7.0, 2.5], np.float32),
-        rotation_x=0.62 * np.pi, rotation_z=0.0)
+        rotation_x=0.38 * np.pi, rotation_z=np.pi)
 
 
 def _ies_profile_texture(data_directory: str) -> str:
