@@ -324,65 +324,107 @@ _RECT_PAD_ABS = 2.0
 _RECT_PAD_REL = 1e-4
 
 
-def cluster_screen_rects(clusters: Clusters, pixel_to_ray,
-                         camera_position, t_min: float = 1.0e-3):
-    """Project every cluster AABB into PIXEL space: the rasterizer-style
-    binning transform (reference: visibility_pass.vert.glsl:27-33 projects
-    each vertex; here the per-cluster bound is projected once and the
-    exact per-pixel test stays ray-triangle, so the primitive-id buffer is
-    identical to the ray-cast path's by construction).
+# Box edges as corner-index pairs for the corner order c = x*4 + y*2 + z.
+_BOX_EDGES = np.array(
+    [(0, 1), (2, 3), (4, 5), (6, 7),    # z-aligned
+     (0, 2), (1, 3), (4, 6), (5, 7),    # y-aligned
+     (0, 4), (1, 5), (2, 6), (3, 7)],   # x-aligned
+    np.int32)
+
+
+def _project_rects(lo, hi, basis, cam, t_min: float):
+    """Project (N, 3) AABB pairs into conservative pixel rects (N, 4).
 
     Works in the exact inverse of the ray-generation basis: ray(px, py) =
     M @ (px, py, 1) (render/pipeline.py), so h = M^-1 @ (p - cam) =
     t * (px, py, 1) — h.z IS the ray parameter t of the pixel whose ray
-    passes through p. Hence:
-      - a cluster whose 8 corners all have h.z <= 0 lies behind the eye
-        plane and no primary ray (t >= t_min > 0) can hit it: drop;
-      - a cluster crossing h.z ~ 0 has an unbounded projection: full
-        screen (conservative);
-      - otherwise the hull's projection is the convex hull of the 8
-        projected corners (projective maps preserve convexity while w > 0)
-        and the rect is their padded min/max.
-
-    Returns (K, 4) float32 [x0, y0, x1, y1]; dropped clusters get an
-    inverted rect that overlaps nothing."""
-    lo, hi = clusters.aabb_lo, clusters.aabb_hi
-    basis = _inv3(jnp.asarray(pixel_to_ray, jnp.float32))
+    passes through p. Any hit point has t >= t_min, i.e. lies in the
+    convex polytope box INTERSECT {h.z >= t_min}, whose projection is the
+    convex hull of (a) the corners with w > t_min and (b) the box-edge
+    crossings with the w = t_min plane — the rasterizer's near-plane
+    clip, every vertex of which projects FINITELY (w >= t_min). The rect
+    is their padded min/max. A box with no such vertex (all corners
+    behind, or NaN sub-box padding whose comparisons are all False)
+    yields the inverted empty rect, which is also the identity of the
+    min/max union across sub-boxes."""
+    tm = np.float32(t_min)
+    big = np.float32(1e9)
     sel = jnp.asarray(
         [[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)],
         jnp.float32)
     corners = (lo[:, None, :] * (1.0 - sel)[None]
-               + hi[:, None, :] * sel[None])  # (K, 8, 3)
-    rel = corners - jnp.asarray(camera_position, jnp.float32)
+               + hi[:, None, :] * sel[None])  # (N, 8, 3)
+    rel = corners - cam
     # Elementwise (not @): the TPU default would round these f32 matmuls
     # through bf16 MXU passes (see pipeline.py precision note).
     h = jnp.einsum("ij,kcj->kci", basis, rel,
                    precision=jax.lax.Precision.HIGHEST)
     w = h[..., 2]
-    behind = jnp.all(w <= 0.0, axis=1)
-    # w is in ray-t units, so t_min is the natural "too close to the eye
-    # plane to project safely" threshold.
-    unsafe = jnp.any(w <= np.float32(t_min), axis=1) & ~behind
-    w_safe = jnp.where(w <= np.float32(t_min), 1.0, w)
-    px = h[..., 0] / w_safe
-    py = h[..., 1] / w_safe
-    big = np.float32(1e9)
+    valid_c = w > tm
+    w_safe = jnp.where(valid_c, w, 1.0)
+    pxc = h[..., 0] / w_safe
+    pyc = h[..., 1] / w_safe
+    # Near-clip: box-edge crossings with w = t_min (w is linear along an
+    # edge, so opposite (w - tm) signs at the endpoints mean exactly one
+    # crossing; |wb - wa| >= |wa - tm| then, so the division is safe).
+    ha = h[:, _BOX_EDGES[:, 0], :]
+    hb = h[:, _BOX_EDGES[:, 1], :]
+    wa, wb = ha[..., 2], hb[..., 2]
+    cross = (wa - tm) * (wb - tm) < 0.0
+    s = (tm - wa) / jnp.where(cross, wb - wa, 1.0)
+    q = ha + s[..., None] * (hb - ha)
+    pxe = q[..., 0] / tm
+    pye = q[..., 1] / tm
 
-    def rect(v):
-        v0, v1 = jnp.min(v, axis=1), jnp.max(v, axis=1)
-        pad = _RECT_PAD_ABS + _RECT_PAD_REL * jnp.maximum(
-            jnp.abs(v0), jnp.abs(v1))
-        return v0 - pad, v1 + pad
+    def bound(vc, ve, lower: bool):
+        sign = big if lower else -big
+        vals = jnp.concatenate(
+            [jnp.where(valid_c, vc, sign), jnp.where(cross, ve, sign)],
+            axis=1)
+        return jnp.min(vals, axis=1) if lower else jnp.max(vals, axis=1)
 
-    x0, x1 = rect(px)
-    y0, y1 = rect(py)
-    x0 = jnp.where(unsafe, -big, x0)
-    y0 = jnp.where(unsafe, -big, y0)
-    x1 = jnp.where(unsafe, big, x1)
-    y1 = jnp.where(unsafe, big, y1)
-    x0 = jnp.where(behind, big, x0)
-    x1 = jnp.where(behind, -big, x1)
-    return jnp.stack([x0, y0, x1, y1], axis=1)
+    x0, x1 = bound(pxc, pxe, True), bound(pxc, pxe, False)
+    y0, y1 = bound(pyc, pye, True), bound(pyc, pye, False)
+    pad_x = _RECT_PAD_ABS + _RECT_PAD_REL * jnp.minimum(
+        jnp.maximum(jnp.abs(x0), jnp.abs(x1)), big)
+    pad_y = _RECT_PAD_ABS + _RECT_PAD_REL * jnp.minimum(
+        jnp.maximum(jnp.abs(y0), jnp.abs(y1)), big)
+    return jnp.stack([x0 - pad_x, y0 - pad_y,
+                      x1 + pad_x, y1 + pad_y], axis=1)
+
+
+def cluster_screen_rects(clusters: Clusters, pixel_to_ray,
+                         camera_position, t_min: float = 1.0e-3):
+    """Project every cluster into PIXEL space: the rasterizer-style
+    binning transform (reference: visibility_pass.vert.glsl:27-33 projects
+    each vertex; here a per-cluster bound is projected once and the
+    exact per-pixel test stays ray-triangle, so the primitive-id buffer is
+    identical to the ray-cast path's by construction).
+
+    When the cluster carries sub-box AABBs the rect is the UNION of the
+    per-sub-box projections: every triangle lives in some sub-box, so the
+    union is conservative, and it is far tighter for clusters that cross
+    the eye plane — only the sub-boxes actually near the camera go
+    full-screen while the rest project normally or drop as behind
+    (measured on the flagship: 87 of 4690 clusters crossed, and their
+    full-screen rects were 2/3 of the total item demand).
+
+    Returns (K, 4) float32 [x0, y0, x1, y1]; dropped clusters get an
+    inverted rect that overlaps nothing."""
+    basis = _inv3(jnp.asarray(pixel_to_ray, jnp.float32))
+    cam = jnp.asarray(camera_position, jnp.float32)
+    if clusters.subboxes is not None:
+        k = clusters.cluster_count
+        g = clusters.subboxes.shape[1] // 6
+        boxes = clusters.subboxes.reshape(k * g, 6)
+        r = _project_rects(boxes[:, 0:3], boxes[:, 3:6], basis, cam,
+                           t_min).reshape(k, g, 4)
+        return jnp.stack([jnp.min(r[:, :, 0], axis=1),
+                          jnp.min(r[:, :, 1], axis=1),
+                          jnp.max(r[:, :, 2], axis=1),
+                          jnp.max(r[:, :, 3], axis=1)], axis=1)
+    return _project_rects(clusters.aabb_lo, clusters.aabb_hi, basis, cam,
+                          t_min)
 
 
 def _raster_items(clusters: Clusters, crects, chunk_rects, chunk: int,
