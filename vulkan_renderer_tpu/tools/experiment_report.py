@@ -117,16 +117,20 @@ def write_report(csv_path: str, out_path: str) -> int:
             "unbiased one** (it skips the iteration polish), and the "
             "area/solid-angle samplers are cheaper than both but do not "
             "importance-sample the cosine.",
-            "- **128 lights x 1 spp costs more than 1 light x 128 spp "
-            "for the setup-heavy techniques** (per-light setup "
-            "dominates; per-sample cost dominates the 1L 128spp case), "
-            "most visibly for Urena's rectangle sampler and the PSA "
-            "family.",
-            "- The 10/16-frame rows (vertex counts 3/4/6/7) use a "
-            "shorter warmup/measure protocol than the round-4 vertex-"
-            "count-5 rows (110/100): the per-row cost is dominated by "
-            "the per-process compile, and pipelined medians at these "
-            "150-1000 ms frame times are stable well before 16 frames.",
+            "- **Central vs decentral light placement costs the SAME "
+            "here** (paired rows agree within noise). This is a genuine "
+            "TPU-vs-GPU architecture finding, not a measurement "
+            "artifact: every kernel is branchless and lane-dense, so "
+            "per-pixel cost is data-independent — where the reference's "
+            "GPU pays warp divergence and scattered clipping work for "
+            "decentral layouts, the TPU pays the worst case for every "
+            "layout. (Rows measured before the timer fix showed a fake "
+            "2x decentral penalty from mixing measurement eras; all "
+            "pre-fix rows were purged and re-measured.)",
+            "- All rows use the 10 warmup / 16 measured-frame pipelined "
+            "protocol: the per-row cost is dominated by the per-process "
+            "XLA compile, and pipelined medians at these 150-1000 ms "
+            "frame times are stable well before 16 frames.",
             "",
         ]
 
