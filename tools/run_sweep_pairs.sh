@@ -25,6 +25,12 @@ cd "$(dirname "$0")/.."
 WARM=10
 MEAS=16
 CSV=results/results.csv
+# Dead-man's switch: no NEW pair starts after the deadline (epoch seconds,
+# env SWEEP_DEADLINE, default +95 min). The end-of-round driver runs
+# bench.py on the same TPU; an unattended sweep running into that window
+# re-creates r4's contended 4x-wrong official number. A mid-pair overrun
+# is bounded by the per-pair `timeout 1800`.
+DEADLINE=${SWEEP_DEADLINE:-$(( $(date +%s) + 95 * 60 ))}
 
 have_row() {
   awk -F, -v i="$1" 'NR>1 && $1==i {found=1} END {exit !found}' "$CSV"
@@ -32,6 +38,10 @@ have_row() {
 
 run_pair() {
   a=$1; b=$2
+  if [ "$(date +%s)" -ge "$DEADLINE" ]; then
+    echo "sweep deadline reached — stopping before pair $a/$b"
+    exit 0
+  fi
   if have_row $a && have_row $b; then
     echo "pair $a/$b already recorded — skip"
     return 0
