@@ -178,7 +178,7 @@ def write_report(csv_path: str, out_path: str) -> int:
             rrows = list(csv.DictReader(f))
         latest_r = {}
         for r in rrows:
-            latest_r[(r["config"], r["backend"])] = r
+            latest_r[(r["config"], r.get("spp"), r["backend"])] = r
         lines += [
             "## RMSE self-reference (BASELINE rebuild-target configs)",
             "",
@@ -194,7 +194,8 @@ def write_report(csv_path: str, out_path: str) -> int:
             "stand-in | uncertain | overflow |",
             "|---|---|---|---|---|---|---|---|---|",
         ]
-        for r in sorted(latest_r.values(), key=lambda r: int(r["config"])):
+        for r in sorted(latest_r.values(),
+                        key=lambda r: (int(r["config"]), -int(r["spp"]))):
             lines.append(
                 f"| {r['config']}: {r['tag']} | "
                 f"{r['width']}x{r['height']} | {r['spp']} | "
@@ -203,6 +204,26 @@ def write_report(csv_path: str, out_path: str) -> int:
                 f"{'yes' if r['stand_in'] == '1' else 'no'} | "
                 f"{r['primary_uncertain']} | {r['shadow_overflow']} |")
         lines.append("")
+        # Named causes for rows over the 1e-3 target (the target's own
+        # contract: "any config failing 1e-3 gets a named cause").
+        causes = {
+            "2": ("GGX-specular Monte-Carlo variance at 128 spp with pure "
+                  "light sampling (no MIS, per the config's contract): the "
+                  "residual halves when spp quadruples (see the 32-spp row's "
+                  "~2x RMSE), i.e. it is unbiased estimator variance, not "
+                  "bias; ~192 spp would cross 1e-3."),
+        }
+        over = [r for r in latest_r.values()
+                if float(r["rmse"]) >= 1e-3]
+        if over:
+            lines.append("Named causes for rows over 1e-3:")
+            lines.append("")
+            for r in sorted(over, key=lambda r: int(r["config"])):
+                cause = causes.get(r["config"],
+                                   "unexplained — investigate")
+                lines.append(f"- config {r['config']} at {r['spp']} spp "
+                             f"(RMSE {r['rmse']}): {cause}")
+            lines.append("")
 
     lines += [
         "## All experiments",
